@@ -1,0 +1,204 @@
+"""B-spline resampling (scipy.ndimage.zoom equivalent) in pure JAX.
+
+The reference leans on ``scipy.ndimage.zoom`` with spline orders 3 and 5 and
+modes 'mirror'/'reflect' (process_SLICS.py:64,167,205; create_lightcone.py:122).
+``jax.image.resize`` uses different kernels (Keys cubic, not B-splines), so we
+implement the real thing: recursive-IIR spline prefiltering with exact
+infinite-extension boundary initialisation, then separable B-spline evaluation
+with scipy's grid_mode=False coordinate mapping.
+
+Everything is jit-able; the sequential prefilter runs as a lax.scan along the
+resampled axis, vectorized across all other axes (resampling is not the hot
+path - the conv nets are - but it must be *correct* for the y-map fidelity).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["zoom", "resize_spline", "spline_filter_1d"]
+
+# Poles of the B-spline prefilter (Unser et al. 1993; scipy ni_splines.c).
+_POLES = {
+    0: (),
+    1: (),
+    2: (math.sqrt(8.0) - 3.0,),
+    3: (math.sqrt(3.0) - 2.0,),
+    4: (math.sqrt(664.0 - math.sqrt(438976.0)) + math.sqrt(304.0) - 19.0,
+        math.sqrt(664.0 + math.sqrt(438976.0)) - math.sqrt(304.0) - 19.0),
+    5: (math.sqrt(135.0 / 2.0 - math.sqrt(17745.0 / 4.0))
+        + math.sqrt(105.0 / 4.0) - 13.0 / 2.0,
+        math.sqrt(135.0 / 2.0 + math.sqrt(17745.0 / 4.0))
+        - math.sqrt(105.0 / 4.0) - 13.0 / 2.0),
+}
+
+
+def _extend(x, mode):
+    """Mirror/reflect-extend the last axis into one full period."""
+    if mode == "mirror":  # period 2N-2: [x0..xN-1, xN-2..x1]
+        return jnp.concatenate([x, x[..., -2:0:-1]], axis=-1)
+    if mode == "reflect":  # period 2N: [x0..xN-1, xN-1..x0]
+        return jnp.concatenate([x, x[..., ::-1]], axis=-1)
+    raise ValueError(f"mode '{mode}' not supported (use 'mirror' or 'reflect').")
+
+
+def _filter_one_pole(xt, z):
+    """Causal+anticausal single-pole filter on a periodic signal (last axis).
+
+    Initial conditions are the exact steady-state values for the periodic
+    (infinite) extension, which equals scipy's infinite-extension boundary
+    handling for mirror/reflect modes.
+    """
+    P = xt.shape[-1]
+    zP = z ** P
+    j = np.arange(P)
+    # c_plus[0] = 1/(1-z^P) * sum_j z^j * x[(-j) mod P]
+    w0 = jnp.asarray((z ** j) / (1.0 - zP), dtype=xt.dtype)
+    gather0 = jnp.asarray((-j) % P)
+    c0 = jnp.einsum("j,...j->...", w0, xt[..., gather0])
+
+    def causal(carry, xn):
+        c = xn + z * carry
+        return c, c
+
+    xs = jnp.moveaxis(xt, -1, 0)
+    _, cp = jax.lax.scan(causal, c0, xs[1:])
+    cp = jnp.concatenate([c0[None], cp], axis=0)  # (P, ...)
+
+    # anticausal init: c_minus[P-1] = -z/(1-z^P) * sum_j z^j c_plus[(j-1) mod P]
+    wN = jnp.asarray(-z * (z ** j) / (1.0 - zP), dtype=xt.dtype)
+    gatherN = jnp.asarray((j - 1) % P)
+    cN = jnp.einsum("j,j...->...", wN, cp[gatherN])
+
+    def anticausal(carry, cpn):
+        c = z * (carry - cpn)
+        return c, c
+
+    _, cm = jax.lax.scan(anticausal, cN, cp[:-1][::-1])
+    cm = jnp.concatenate([cN[None], cm], axis=0)[::-1]  # (P, ...)
+    return jnp.moveaxis(cm, 0, -1)
+
+
+def spline_filter_1d(x, order: int, mode: str = "mirror", axis: int = -1):
+    """B-spline prefilter along one axis (scipy.ndimage.spline_filter1d)."""
+    if order < 2:
+        return x
+    poles = _POLES[order]
+    gain = float(np.prod([(1 - z) * (1 - 1 / z) for z in poles]))
+    x = jnp.moveaxis(x, axis, -1)
+    xt = _extend(x * gain, mode)
+    for z in poles:
+        xt = _filter_one_pole(xt, z)
+    out = xt[..., : x.shape[-1]]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _bspline_weights(t, order: int):
+    """B-spline kernel values at offsets; t in [0,1) is the fractional part.
+
+    Returns weights of shape t.shape + (order+1,) for taps
+    floor(x) - (order-1)//2 + arange(order+1).
+    """
+    if order == 0:
+        return jnp.ones(t.shape + (1,), t.dtype)
+    if order == 1:
+        return jnp.stack([1 - t, t], axis=-1)
+    if order == 3:
+        # taps at distances: t+1, t, 1-t, 2-t
+        t2, t3 = t * t, t * t * t
+        w0 = (1 - t) ** 3 / 6.0
+        w1 = (3 * t3 - 6 * t2 + 4) / 6.0
+        w2 = (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0
+        w3 = t3 / 6.0
+        return jnp.stack([w0, w1, w2, w3], axis=-1)
+    if order == 5:
+        # quintic B-spline B5 evaluated at |x| in [0,3)
+        def b5(u):
+            au = jnp.abs(u)
+            au2, au3, au4, au5 = au ** 2, au ** 3, au ** 4, au ** 5
+            f1 = (au5 / -12.0 + au4 / 4.0 - au2 / 2.0 + 11.0 / 20.0
+                  + au3 * 0.0)
+            # piecewise from Unser: B5(x) for |x|<1:
+            f1 = 11.0 / 20.0 - au2 / 2.0 + au4 / 4.0 - au5 / 12.0
+            f2 = (17.0 / 40.0 + 5.0 * au / 8.0 - 7.0 * au2 / 4.0 + 5.0 * au3 / 4.0
+                  - 3.0 * au4 / 8.0 + au5 / 24.0)
+            f3 = (3.0 - au) ** 5 / 120.0
+            return jnp.where(au < 1, f1, jnp.where(au < 2, f2,
+                             jnp.where(au < 3, f3, 0.0)))
+        offs = jnp.arange(-2, 4, dtype=t.dtype)  # taps floor-2 .. floor+3
+        return b5(t[..., None] - offs)
+    raise NotImplementedError(f"order {order}")
+
+
+def _map_indices(idx, n: int, mode: str):
+    if mode == "mirror":
+        p = 2 * n - 2 if n > 1 else 1
+        m = jnp.abs(idx) % p
+        return jnp.minimum(m, p - m)
+    if mode == "reflect":
+        p = 2 * n
+        m = idx % p
+        m = jnp.where(m < 0, m + p, m)
+        return jnp.where(m < n, m, p - 1 - m)
+    raise ValueError(mode)
+
+
+def _resample_axis(c, out_n: int, order: int, mode: str, axis: int):
+    """Evaluate the spline (coefficients c) at zoom coordinates along axis."""
+    c = jnp.moveaxis(c, axis, -1)
+    n = c.shape[-1]
+    if out_n > 1 and n > 1:
+        scale = (n - 1) / (out_n - 1)
+    else:
+        scale = 0.0
+    coords = jnp.arange(out_n, dtype=c.dtype) * scale
+    base = jnp.floor(coords).astype(jnp.int32)
+    # keep base such that frac in [0,1); at the exact right edge clamp
+    base = jnp.clip(base, 0, max(n - 2, 0)) if order >= 1 else base
+    t = coords - base.astype(c.dtype)
+    w = _bspline_weights(t, order)  # (out_n, taps)
+    taps = w.shape[-1]
+    first = -((order - 1) // 2) if order >= 1 else 0
+    if order == 0:
+        idx = jnp.round(coords).astype(jnp.int32)[:, None]
+    else:
+        idx = base[:, None] + (first + jnp.arange(taps))[None, :]
+    idx = _map_indices(idx, n, mode)
+    gathered = c[..., idx]  # (..., out_n, taps)
+    return jnp.moveaxis(jnp.einsum("...ot,ot->...o", gathered, w), -1, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape", "order", "mode",
+                                             "prefilter"))
+def resize_spline(x, out_shape, order: int = 3, mode: str = "mirror",
+                  prefilter: bool = True):
+    """Resample the last two axes of ``x`` to ``out_shape`` (H, W).
+
+    Matches scipy.ndimage.zoom semantics with grid_mode=False: output
+    coordinate o maps to input coordinate o*(in-1)/(out-1).
+    """
+    if order not in (0, 1, 3, 5):
+        raise NotImplementedError(f"order {order} (supported: 0, 1, 3, 5)")
+    out_h, out_w = out_shape
+    c = x
+    if prefilter and order >= 2:
+        c = spline_filter_1d(c, order, mode, axis=-1)
+        c = spline_filter_1d(c, order, mode, axis=-2)
+    c = _resample_axis(c, out_w, order, mode, axis=-1)
+    c = _resample_axis(c, out_h, order, mode, axis=-2)
+    return c
+
+
+def zoom(x, zoom_factor, order: int = 3, mode: str = "mirror"):
+    """scipy.ndimage.zoom equivalent over the last two axes."""
+    h, w = x.shape[-2], x.shape[-1]
+    if np.isscalar(zoom_factor):
+        zf = (float(zoom_factor), float(zoom_factor))
+    else:
+        zf = tuple(float(z) for z in zoom_factor)
+    out_shape = (int(round(h * zf[0])), int(round(w * zf[1])))
+    return resize_spline(x, out_shape, order=order, mode=mode)

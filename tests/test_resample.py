@@ -1,0 +1,69 @@
+"""B-spline resampler parity tests against scipy.ndimage."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import spline_filter1d, zoom as scipy_zoom
+
+from baryon_painter_tpu.ops.resample import spline_filter_1d, zoom
+
+
+@pytest.mark.parametrize("order", [3, 5])
+@pytest.mark.parametrize("mode", ["mirror", "reflect"])
+def test_prefilter_matches_scipy(rng, order, mode):
+    x = rng.standard_normal(37).astype(np.float32)
+    got = np.asarray(spline_filter_1d(jnp.asarray(x), order, mode))
+    want = spline_filter1d(x.astype(np.float64), order=order, mode=mode)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [3, 5])
+def test_prefilter_batched(rng, order):
+    x = rng.standard_normal((4, 25)).astype(np.float32)
+    got = np.asarray(spline_filter_1d(jnp.asarray(x), order, "mirror"))
+    for i in range(4):
+        want = spline_filter1d(x[i].astype(np.float64), order=order, mode="mirror")
+        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [0, 1, 3, 5])
+@pytest.mark.parametrize("mode", ["mirror", "reflect"])
+@pytest.mark.parametrize("zf", [0.4, 1.0, 1.7, 2.0])
+def test_zoom_matches_scipy(rng, order, mode, zf):
+    x = rng.standard_normal((24, 30)).astype(np.float32)
+    got = np.asarray(zoom(jnp.asarray(x), zf, order=order, mode=mode))
+    want = scipy_zoom(x.astype(np.float64), zoom=zf, order=order, mode=mode)
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_zoom_identity(rng):
+    x = rng.standard_normal((16, 16)).astype(np.float32)
+    got = np.asarray(zoom(jnp.asarray(x), 1.0, order=3, mode="mirror"))
+    np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
+
+
+def test_zoom_batched(rng):
+    x = rng.standard_normal((3, 20, 20)).astype(np.float32)
+    got = np.asarray(zoom(jnp.asarray(x), 1.6, order=3, mode="mirror"))
+    assert got.shape == (3, 32, 32)
+    for i in range(3):
+        want = scipy_zoom(x[i].astype(np.float64), 1.6, order=3, mode="mirror")
+        np.testing.assert_allclose(got[i], want, rtol=2e-3,
+                                   atol=2e-4 * np.abs(want).max())
+
+
+def test_anisotropic_zoom(rng):
+    x = rng.standard_normal((12, 20)).astype(np.float32)
+    got = np.asarray(zoom(jnp.asarray(x), (2.0, 0.5), order=3, mode="mirror"))
+    want = scipy_zoom(x.astype(np.float64), (2.0, 0.5), order=3, mode="mirror")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4 * np.abs(want).max())
+
+
+def test_lightcone_shapes():
+    """The shapes used by the SLICS pipeline (tile -> 512 px) round-trip."""
+    x = jnp.ones((800, 800))
+    out = zoom(x, 512 / 800, order=3, mode="reflect")
+    assert out.shape == (512, 512)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
