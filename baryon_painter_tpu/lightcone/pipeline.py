@@ -1,0 +1,217 @@
+"""SLICS plane painting: batched tiles, on-device blending.
+
+Capability parity with the reference's process_SLICS (process_SLICS.py:128-226)
+with the TPU-first restructuring SURVEY §3.3 calls for: instead of painting
+overlapping tiles one at a time on CPU, ALL tiles of a shell are extracted,
+resampled, painted and blended as device batches:
+
+  extract (periodic gather) -> B-spline zoom -> CVAE decode (batched)
+  -> Gaussian-weight blend (scan of dynamic_update_slice scatter-adds)
+
+File IO stays in lightcone/io.py so this module is hermetically testable on
+synthetic planes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baryon_painter_tpu.lightcone import io as slics_io
+from baryon_painter_tpu.lightcone.tiling import (generate_tiling, get_tile,
+                                                 make_weight_map,
+                                                 tile_origin_pixels)
+from baryon_painter_tpu.ops.resample import resize_spline
+
+__all__ = ["paint_plane", "paint_plane_from_massplane", "process_slics",
+           "blend_tiles"]
+
+
+@partial(jax.jit, static_argnames=("plane_size",))
+def blend_tiles(tiles, weights, origins, plane_size: int):
+    """Accumulate sum(w*tile) and sum(w) onto a plane canvas.
+
+    tiles: (N, T, T); weights: (N, T, T); origins: (N, 2) int32 pixel
+    origins (tiles never cross the canvas edge by construction of
+    generate_tiling). Returns (painted_plane, weight_plane).
+    """
+    plane0 = jnp.zeros((plane_size, plane_size), tiles.dtype)
+    wplane0 = jnp.zeros((plane_size, plane_size), tiles.dtype)
+
+    def body(carry, inp):
+        plane, wplane = carry
+        tile, w, o = inp
+        cur = jax.lax.dynamic_slice(plane, (o[0], o[1]), tile.shape)
+        plane = jax.lax.dynamic_update_slice(plane, cur + w * tile,
+                                             (o[0], o[1]))
+        curw = jax.lax.dynamic_slice(wplane, (o[0], o[1]), tile.shape)
+        wplane = jax.lax.dynamic_update_slice(wplane, curw + w, (o[0], o[1]))
+        return (plane, wplane), None
+
+    (plane, wplane), _ = jax.lax.scan(body, (plane0, wplane0),
+                                      (tiles, weights, origins))
+    return plane, wplane
+
+
+def _extract_tiles(plane: np.ndarray, origins_frac, tile_relative_size):
+    """Gather all (periodic) tiles at native plane resolution."""
+    tiles = []
+    for x in origins_frac:
+        for y in origins_frac:
+            tiles.append(get_tile(plane, (x, y), tile_relative_size))
+    return np.stack(tiles)
+
+
+def paint_plane(painter, delta: np.ndarray, z_slice: float,
+                tile_size: float, delta_size: float, n_pixel_tile: int,
+                min_tile_overlap: float = 0.5,
+                falloff: float = 0.05, sigma: float = 0.5,
+                paint_batch_size: int = 16,
+                zoom_order: int = 3,
+                regularise: bool = False,
+                regularise_std: Optional[float] = None,
+                collect_problematic: bool = False):
+    """Paint one high-z shell: overlap-tile the plane, batch-paint, blend.
+
+    Mirrors the reference's high-z branch (process_SLICS.py:177-220) with
+    batched device execution. Returns the painted plane (+ problem list).
+    """
+    n_pixel_plane = int(delta_size / tile_size * n_pixel_tile)
+    origins, _ = generate_tiling(n_pixel_plane, n_pixel_tile,
+                                 min_tile_overlap)
+    origin_px = tile_origin_pixels(origins, n_pixel_plane)
+
+    raw_tiles = _extract_tiles(delta, origins, tile_size / delta_size)
+    n_tiles = raw_tiles.shape[0]
+
+    # batched resample native -> model resolution (reference zooms per tile
+    # with scipy order 3 'reflect': process_SLICS.py:205)
+    tiles = np.asarray(resize_spline(jnp.asarray(raw_tiles),
+                                     (n_pixel_tile, n_pixel_tile),
+                                     order=zoom_order, mode="reflect"))
+
+    painted = np.empty_like(tiles)
+    for lo in range(0, n_tiles, paint_batch_size):
+        hi = min(lo + paint_batch_size, n_tiles)
+        chunk = tiles[lo:hi]
+        # pad the last chunk so every call hits the same compiled graph
+        pad = paint_batch_size - (hi - lo)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        zs = np.full(chunk.shape[0], z_slice, np.float32)
+        out = np.asarray(painter.paint_batch(chunk, zs))
+        painted[lo:hi] = out[: hi - lo]
+
+    w = make_weight_map((n_pixel_tile, n_pixel_tile), falloff=falloff,
+                        sigma=sigma).astype(np.float32)
+    weights = np.broadcast_to(w, painted.shape).copy()
+
+    problematic = []
+    if regularise_std is not None:
+        mean = painted.mean(axis=(1, 2), keepdims=True)
+        std = painted.std(axis=(1, 2), keepdims=True)
+        outlier = np.abs(painted - mean) > std * regularise_std
+        bad = outlier.any(axis=(1, 2))
+        if collect_problematic:
+            for i in np.nonzero(bad)[0]:
+                problematic.append((z_slice, tiles[i], painted[i]))
+        if regularise:
+            weights[outlier] = 0.0
+
+    grid = np.array([(x, y) for x in origin_px for y in origin_px],
+                    dtype=np.int32)
+    plane, wplane = blend_tiles(jnp.asarray(painted), jnp.asarray(weights),
+                                jnp.asarray(grid), n_pixel_plane)
+    result = np.asarray(plane / wplane)
+    if collect_problematic:
+        return result, problematic
+    return result
+
+
+def paint_plane_from_massplane(painter, massplane: np.ndarray,
+                               shift, z_slice: float,
+                               tile_size: float, delta_size: float,
+                               n_pixel_tile: int,
+                               massplane_size: float = slics_io.MASSPLANE_SIZE,
+                               subtract_minimum: bool = False,
+                               zoom_order: int = 3):
+    """Low-z branch: the tile is bigger than the delta plane
+    (process_SLICS.py:150-176). Extract an expanded tile from the mass
+    plane, paint it, crop back to the delta footprint."""
+    tile = get_tile(massplane, shift,
+                    tile_relative_size=delta_size / massplane_size,
+                    expansion_factor=tile_size / delta_size)
+    if subtract_minimum:
+        tile = tile - tile.min()
+    tile = np.asarray(resize_spline(jnp.asarray(tile[None]),
+                                    (n_pixel_tile, n_pixel_tile),
+                                    order=zoom_order, mode="mirror"))[0]
+    painted = np.asarray(painter.paint_batch(
+        tile[None], np.full(1, z_slice, np.float32)))[0]
+    frac = delta_size / tile_size
+    return get_tile(painted, ((1 - frac) / 2, (1 - frac) / 2),
+                    tile_relative_size=frac)
+
+
+def process_slics(painter, tile_size: float, n_pixel_tile: int,
+                  LOS: int, z_SLICS: Sequence[float],
+                  delta_size: Sequence[float],
+                  delta_path: str, massplane_path: str, shifts_path: str,
+                  z_slice: Sequence[float],
+                  min_tiling_overlap: float = 0.5,
+                  verbose: bool = True,
+                  SLICS_density: bool = False,
+                  regularise: bool = False,
+                  regularise_std: Optional[float] = None,
+                  return_problematic_tiles: bool = False,
+                  paint_batch_size: int = 16,
+                  n_pixel_delta: int = slics_io.N_PIXEL_DELTA,
+                  n_pixel_massplane: int = slics_io.N_PIXEL_MASSPLANE,
+                  massplane_size: float = slics_io.MASSPLANE_SIZE
+                  ) -> List[np.ndarray]:
+    """Full multi-shell pipeline; reference call contract
+    (process_SLICS.py:128-226)."""
+    if len(z_SLICS) != len(z_slice):
+        raise ValueError("Shapes of z_SLICS and z_slice need to match!")
+
+    painted_planes = []
+    problematic = []
+    for i, z_shell in enumerate(z_SLICS):
+        if verbose:
+            print(f"Processing z={z_shell:.3f}")
+        if delta_size[i] < tile_size:
+            shifts = slics_io.load_random_shifts(shifts_path, LOS)
+            mp_file = slics_io.massplane_filename(massplane_path, z_shell,
+                                                  LOS, i)
+            plane = slics_io.load_massplane(mp_file, n_pixel_massplane)
+            painted_planes.append(paint_plane_from_massplane(
+                painter, plane, shifts[i], z_slice[i], tile_size,
+                delta_size[i], n_pixel_tile,
+                massplane_size=massplane_size,
+                subtract_minimum=SLICS_density))
+        else:
+            if SLICS_density:
+                delta = slics_io.load_density_fits(
+                    slics_io.density_filename(delta_path, z_shell, LOS))
+            else:
+                delta = slics_io.load_delta_plane(
+                    slics_io.delta_filename(delta_path, z_shell, LOS),
+                    n_pixel_delta)
+            out = paint_plane(painter, delta, z_slice[i], tile_size,
+                              delta_size[i], n_pixel_tile,
+                              min_tile_overlap=min_tiling_overlap,
+                              paint_batch_size=paint_batch_size,
+                              regularise=regularise,
+                              regularise_std=regularise_std,
+                              collect_problematic=return_problematic_tiles)
+            if return_problematic_tiles:
+                out, probs = out
+                problematic.extend(probs)
+            painted_planes.append(out)
+
+    if return_problematic_tiles:
+        return painted_planes, problematic
+    return painted_planes

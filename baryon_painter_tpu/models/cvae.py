@@ -1,0 +1,286 @@
+"""Conditional VAE, TPU-native flax implementation.
+
+Same probabilistic structure as the reference (models/cvae.py:8-199):
+recognition net Q(z|x,y), optional prior net p(z|y), generator P(x|y,z) with
+optional predicted output variance, analytic Gaussian KL, reparameterization
+with a variance floor, alpha_var/beta_KL annealing knobs, and redshift
+conditioning via constant aux feature maps.
+
+The architecture is the same declarative dict DSL as the reference
+(keys: type, dim_x/y/z, n_x_features, aux_label, prior_z_y, q_x_in, q_y_in,
+q_x_y_out, p_y_in, p_z_in, p_y_z_in, p_y_z_out, min_x_var, min_z_var, L,
+likelihood_scaling, x_var_init_std; cvae.py:16-58) so fiducial configs port
+1:1. Tensors are NHWC internally; z_mu/z_log_var are produced by splitting the
+2*C_z output channels (replacing the reference's channel-first unflatten).
+
+The ELBO is identical term-for-term to cvae.py:122-147 (sum over pixels,
+averaged over batch and MC samples; per-output-channel log-likelihoods), so
+loss curves are directly comparable to the published training logs.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baryon_painter_tpu.models import dsl
+from baryon_painter_tpu.models.layers import (SpecSequential, merge_aux_label,
+                                              torch_conv_init)
+
+LOG_2PI = math.log(2 * math.pi)
+
+
+def _normal_init(std):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _strip_unflatten(spec):
+    if spec is None:
+        return None
+    return tuple(tuple(l) if not isinstance(l, tuple) else l
+                 for l in spec if str(l[0]).lower() != "unflatten")
+
+
+class CVAE(nn.Module):
+    architecture: dict
+    dtype: Optional[Any] = None  # compute dtype for convs (e.g. bfloat16)
+
+    def setup(self):
+        arch = self.architecture
+        if arch.get("type", "Type-1") != "Type-1":
+            raise NotImplementedError(
+                f"Architecture {arch.get('type')} not supported yet!")
+        self.dim_x = tuple(arch["dim_x"])  # channel-first (C,H,W), parity
+        self.dim_y = tuple(arch["dim_y"])
+        self.dim_z = tuple(arch["dim_z"])
+        self.n_x_features = arch["n_x_features"]
+        self.L = arch.get("L", 1)
+        self.use_aux_label = arch.get("aux_label", False)
+        self.min_z_var = arch.get("min_z_var", 1e-7)
+        self.min_x_var = arch.get("min_x_var", 1e-7)
+        self.likelihood_scaling = arch.get("likelihood_scaling", 1.0)
+
+        mk = lambda key: SpecSequential(_strip_unflatten(arch[key]),
+                                        dtype=self.dtype)
+        self.q_x_in = mk("q_x_in")
+        self.q_y_in = mk("q_y_in")
+        self.q_out = mk("q_x_y_out")
+        self.p_y_in = SpecSequential(_strip_unflatten(arch.get("p_y_in")),
+                                     dtype=self.dtype)
+        self.p_z_in = mk("p_z_in")
+        self.p_y_z_in = mk("p_y_z_in")
+        self.p_mu_out = SpecSequential(_strip_unflatten(arch["p_y_z_out"][0]),
+                                       dtype=self.dtype)
+        self.predict_var = len(arch["p_y_z_out"]) > 1
+        if self.predict_var:
+            std = arch.get("x_var_init_std", 0.01)
+            self.p_var_out = SpecSequential(
+                _strip_unflatten(arch["p_y_z_out"][1]), dtype=self.dtype,
+                kernel_init=_normal_init(std))
+        if "prior_z_y" in arch and arch["prior_z_y"] is not None:
+            self.prior_network = SpecSequential(
+                _strip_unflatten(arch["prior_z_y"]), dtype=self.dtype)
+        else:
+            self.prior_network = None
+
+    # ------------------------------------------------------------------ #
+
+    def _merge_aux(self, y, aux_label):
+        if aux_label is not None and self.use_aux_label:
+            return merge_aux_label(y, aux_label)
+        return y
+
+    def _split_heads(self, h):
+        """(N,H,W,2*Cz) -> z_mu, z_log_var each (N,H,W,Cz)."""
+        cz = self.dim_z[0]
+        if h.shape[-1] != 2 * cz:
+            raise ValueError(
+                f"Head produced {h.shape[-1]} channels, expected {2 * cz} "
+                f"for dim_z={self.dim_z}.")
+        return h[..., :cz], h[..., cz:]
+
+    def Q(self, x, y, aux_label=None, train: bool = True):
+        y = self._merge_aux(y, aux_label)
+        h_x = self.q_x_in(x, train=train)
+        h_y = self.q_y_in(y, train=train)
+        h = jnp.concatenate([h_x, h_y], axis=-1)
+        h = self.q_out(h, train=train)
+        return self._split_heads(h)
+
+    def prior(self, y, aux_label=None, train: bool = True):
+        if self.prior_network is None:
+            cz, hz, wz = self.dim_z
+            shape = (y.shape[0], hz, wz, cz)
+            return jnp.zeros(shape, y.dtype), jnp.zeros(shape, y.dtype)
+        y = self._merge_aux(y, aux_label)
+        h = self.prior_network(y, train=train)
+        return self._split_heads(h)
+
+    def sample_z(self, rng, z_mu, z_log_var, L: int = 1):
+        """Reparameterized sample; z = mu + eps*(exp(logvar/2) + min_z_var)
+        (cvae.py:63-66)."""
+        eps = jax.random.normal(rng, (L, *z_mu.shape), z_mu.dtype)
+        z = z_mu[None] + eps * (jnp.exp(z_log_var[None] / 2) + self.min_z_var)
+        return z.reshape(-1, *z_mu.shape[1:])
+
+    def P(self, z, y, aux_label=None, L: int = 1, train: bool = True):
+        y = self._merge_aux(y, aux_label)
+        h_y = self.p_y_in(y, train=train)
+        h_z = self.p_z_in(z, train=train)
+        h_y = jnp.tile(h_y, (L, 1, 1, 1))
+        h = jnp.concatenate([h_z, h_y], axis=-1)
+        h = self.p_y_z_in(h, train=train)
+        x_mu = self.p_mu_out(h, train=train)
+        if self.predict_var:
+            x_log_var = self.p_var_out(h, train=train)
+            return x_mu, x_log_var
+        return (x_mu,)
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, x, y, aux_label=None, alpha_var: float = 1.0,
+                 beta_KL: float = 1.0, train: bool = True):
+        """ELBO and per-term stats; mirrors cvae.py:122-147.
+
+        x: (N,H,W,C_x) transformed target field(s); y: (N,H,W,C_y) input.
+        Returns a dict: elbo, kl, log_likelihood (per output channel), plus
+        fixed/free-variance components when variance is predicted.
+        """
+        M = x.shape[0]
+        z_mu, z_log_var = self.Q(x, y, aux_label, train=train)
+        z = self.sample_z(self.make_rng("sample"), z_mu, z_log_var, self.L)
+
+        prior_mu, prior_log_var = self.prior(y, aux_label, train=train)
+        prior_var = jnp.exp(prior_log_var)
+        kl = 0.5 / M * jnp.sum(
+            (prior_mu - z_mu) ** 2 / prior_var
+            + jnp.exp(z_log_var) / prior_var
+            + prior_log_var - z_log_var - 1.0)
+
+        params = self.P(z, y, aux_label, L=self.L, train=train)
+        x_mu = params[0]
+        x_rep = jnp.tile(x, (self.L, 1, 1, 1))
+        sq = (x_rep - x_mu.astype(x.dtype)) ** 2
+        norm = M * self.L
+        out = {"kl": kl}
+        if self.predict_var:
+            x_log_var = params[1].astype(x.dtype)
+            x_var = jnp.exp(x_log_var)
+            ll_fixed = -0.5 * LOG_2PI + (-0.5 * sq).sum(axis=(0, 1, 2)) / norm
+            ll_free = -0.5 * LOG_2PI + (
+                -0.5 * x_log_var - 0.5 * sq / x_var).sum(axis=(0, 1, 2)) / norm
+            ll = (1 - alpha_var) * ll_fixed + alpha_var * ll_free
+            out.update(log_likelihood_fixed_var=ll_fixed,
+                       log_likelihood_free_var=ll_free,
+                       x_var=x_var)
+        else:
+            ll = -0.5 * LOG_2PI + (-0.5 * sq).sum(axis=(0, 1, 2)) / norm
+        out["log_likelihood"] = ll
+        out["x_mu"] = x_mu
+        out["elbo"] = -kl * beta_KL + self.likelihood_scaling * ll.sum()
+        return out
+
+    def sample_prior(self, y, aux_label=None, train: bool = False):
+        z_mu, z_log_var = self.prior(y, aux_label, train=train)
+        return self.sample_z(self.make_rng("sample"), z_mu, z_log_var, 1)
+
+    def sample_P(self, y, aux_label=None, z=None, return_var: bool = False,
+                 train: bool = False):
+        """Paint: sample z from the prior and decode (cvae.py:149-162)."""
+        if z is None:
+            z = self.sample_prior(y, aux_label, train=train)
+        p = self.P(z, y, aux_label, L=1, train=train)
+        if return_var and self.predict_var:
+            return p[0], jnp.exp(p[1])
+        return p[0]
+
+    # ------------------------------------------------------------------ #
+
+    def get_stats_labels(self):
+        # Uses the raw architecture dict (callable outside init/apply).
+        n_x = self.architecture["n_x_features"]
+        predict_var = len(self.architecture["p_y_z_out"]) > 1
+        labels = ["ELBO", "KL_term"] + [
+            f"log_likelihood_{i}" for i in range(n_x)]
+        if predict_var:
+            labels += [f"log_likelihood_fixed_var_{i}" for i in range(n_x)]
+            labels += [f"log_likelihood_free_var_{i}" for i in range(n_x)]
+        return labels
+
+
+def stats_from_outputs(out: dict) -> tuple:
+    """Flatten a CVAE output dict to the reference stats tuple order
+    (cvae.py:164-171): (ELBO, -KL, *ll[, *ll_fixed, *ll_free])."""
+    vals = [float(out["elbo"]), -float(out["kl"])]
+    vals += [float(v) for v in np.asarray(out["log_likelihood"])]
+    if "log_likelihood_fixed_var" in out:
+        vals += [float(v) for v in np.asarray(out["log_likelihood_fixed_var"])]
+        vals += [float(v) for v in np.asarray(out["log_likelihood_free_var"])]
+    return tuple(vals)
+
+
+def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
+                               n_aux_label: int = 1, n_label_fields: int = 1,
+                               n_res_blocks: int = 4,
+                               predict_var: bool = True) -> dict:
+    """The fiducial architecture of scripts/CVAE_single_scale.py:98-138,
+    parameterized by tile size (fully convolutional: dim_z scales with it)."""
+    n_x = n_label_fields * n_scale
+    dim_x = (n_x, tile_size, tile_size)
+    dim_y = (n_scale, tile_size, tile_size)
+    dim_z = (1, tile_size // 32, tile_size // 32)
+
+    p_y_z_out_mu = (
+        dsl.conv_block(16, 8, kernel=7, bias=False, batchnorm=False,
+                       activation="PReLU")
+        + dsl.conv_block(8, n_x, kernel=5, bias=False, batchnorm=False,
+                         activation="PReLU")
+        + dsl.conv_block(n_x, n_x, kernel=3, bias=False, batchnorm=False,
+                         activation="softplus"))
+    p_y_z_out = [p_y_z_out_mu]
+    if predict_var:
+        p_y_z_out.append(
+            dsl.conv_block(16, 8, kernel=7, bias=False, batchnorm=False,
+                           activation="PReLU")
+            + dsl.conv_block(8, n_x, kernel=5, bias=False, batchnorm=False,
+                             activation="PReLU")
+            + dsl.conv_block(n_x, n_x, kernel=3, bias=False, batchnorm=False,
+                             activation=None))
+
+    return {
+        "type": "Type-1",
+        "dim_x": dim_x,
+        "dim_y": dim_y,
+        "dim_z": dim_z,
+        "n_x_features": n_x,
+        "aux_label": True,
+        "prior_z_y": (dsl.conv_down(in_channel=n_scale + n_aux_label,
+                                    channels=[8, 16, 32], scales=[2, 4, 4])
+                      + dsl.conv_block(32, 2 * dim_z[0], kernel=5)),
+        "q_x_in": dsl.conv_down(in_channel=n_x, channels=[8, 16, 32],
+                                scales=[2, 4, 4]),
+        "q_y_in": dsl.conv_down(in_channel=n_scale + n_aux_label,
+                                channels=[8, 16, 32], scales=[2, 4, 4]),
+        "q_x_y_out": dsl.conv_block(64, 2 * dim_z[0], kernel=5),
+        "p_y_in": None,
+        "p_z_in": dsl.conv_up(1, channels=[1, 1, 1], scales=[2, 4, 4],
+                              bias=False, batchnorm=True),
+        "p_y_z_in": (dsl.conv_block(n_aux_label + n_scale + 1, 16, kernel=5)
+                     + dsl.conv_down(in_channel=16, channels=[32, 64, 128],
+                                     scales=[2, 2, 2])
+                     + [("residual block", dsl.res_block(128))
+                        for _ in range(n_res_blocks)]
+                     + dsl.conv_up(128, channels=[64, 32, 16], scales=[2, 2, 2],
+                                   bias=False, batchnorm=True,
+                                   activation="ReLU")),
+        "p_y_z_out": tuple(p_y_z_out),
+        "min_x_var": 1e-7,
+        "min_z_var": 1e-7,
+        "L": 1,
+    }

@@ -1,0 +1,244 @@
+"""Flax building blocks interpreting the layer DSL, NHWC / TPU-native.
+
+Shape semantics match PyTorch's conventions so the reference's fiducial
+architectures line up exactly (SURVEY §7 'conv-transpose parity'):
+
+  * Conv2d:          out = floor((in + 2p - k)/s) + 1
+  * ConvTranspose2d: out = (in - 1)*s - 2p + k
+
+Internally everything is NHWC (TPU's preferred layout); the channel counts in
+the DSL are unchanged. Convs run on the MXU with a configurable compute dtype
+(bfloat16 by default for training speed; parameters stay float32).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Conv2d", "ConvTranspose2d", "SpecSequential", "ResidualBlock",
+           "merge_aux_label", "torch_conv_init"]
+
+Dtype = Any
+
+
+def torch_conv_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv2d default init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = k*k*C_in."""
+    kh, kw, cin, _ = shape
+    bound = 1.0 / np.sqrt(kh * kw * cin)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2d(nn.Module):
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Any = torch_conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features))
+        dtype = self.dtype or x.dtype
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(s, s), padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32,
+                    -1.0 / np.sqrt(k * k * cin), 1.0 / np.sqrt(k * k * cin)),
+                (self.features,))
+            out = out + bias
+        return out
+
+
+class ConvTranspose2d(nn.Module):
+    """Fractionally-strided conv with PyTorch's output-size convention."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Any = torch_conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features))
+        dtype = self.dtype or x.dtype
+        pad = k - 1 - p
+        if pad < 0:
+            raise ValueError(f"Unsupported transp-conv padding: k={k}, p={p}.")
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32,
+                    -1.0 / np.sqrt(k * k * cin), 1.0 / np.sqrt(k * k * cin)),
+                (self.features,))
+            out = out + bias
+        return out
+
+
+class ResidualBlock(nn.Module):
+    """x -> act(inner(x) + x); models/utils.py:22-38."""
+
+    inner_spec: Tuple
+    activation: Tuple
+    dtype: Optional[Dtype] = None
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = SpecSequential(tuple(map(tuple, self.inner_spec)), dtype=self.dtype,
+                           spectral_norm=self.spectral_norm)(x, train=train)
+        h = h + x
+        return _activation_from_spec(tuple(self.activation))(h)
+
+
+def _activation_from_spec(layer):
+    name = layer[0]
+    if name is None:
+        return lambda x: x
+    name = name.lower()
+    if name == "relu":
+        return nn.relu
+    if name == "leaky relu":
+        slope = layer[1] if len(layer) > 1 else 0.2
+        return lambda x: nn.leaky_relu(x, negative_slope=slope)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "sigmoid":
+        return nn.sigmoid
+    if name == "softplus":
+        return nn.softplus
+    raise NotImplementedError(f"Activation {name} not supported yet!")
+
+
+class SpecSequential(nn.Module):
+    """Interpret a layer-spec list (see models/dsl.py) as a flax module.
+
+    Mirrors build_sequential (models/utils.py:114-157). ``spec=None`` is the
+    identity (reference behavior for e.g. p_y_in=None).
+    ``spectral_norm=True`` wraps every parametric layer in spectral
+    normalization (for the CGAN; trained_models/README.md:101).
+    """
+
+    spec: Optional[Tuple]
+    dtype: Optional[Dtype] = None
+    spectral_norm: bool = False
+    kernel_init: Any = torch_conv_init
+
+    def _wrap(self, module):
+        if self.spectral_norm:
+            return nn.SpectralNorm(module)
+        return module
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.spec is None:
+            return x
+        sn_kw = {"update_stats": train} if self.spectral_norm else {}
+        for layer in self.spec:
+            name = layer[0]
+            config = layer[1] if len(layer) > 1 else None
+            lname = name.lower() if isinstance(name, str) else name
+            if lname == "conv":
+                m = self._wrap(Conv2d(
+                    features=config["out_channels"],
+                    kernel_size=config["kernel_size"],
+                    stride=config.get("stride", 1),
+                    padding=config.get("padding", 0),
+                    use_bias=config.get("bias", True),
+                    dtype=self.dtype, kernel_init=self.kernel_init))
+                x = m(x, **sn_kw) if sn_kw else m(x)
+            elif lname == "transp conv":
+                m = self._wrap(ConvTranspose2d(
+                    features=config["out_channels"],
+                    kernel_size=config["kernel_size"],
+                    stride=config.get("stride", 1),
+                    padding=config.get("padding", 0),
+                    use_bias=config.get("bias", True),
+                    dtype=self.dtype, kernel_init=self.kernel_init))
+                x = m(x, **sn_kw) if sn_kw else m(x)
+            elif lname == "linear":
+                m = self._wrap(nn.Dense(features=config["out_features"],
+                                        use_bias=config.get("bias", True),
+                                        dtype=self.dtype))
+                x = m(x, **sn_kw) if sn_kw else m(x)
+            elif lname == "batchnorm":
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
+            elif lname == "relu":
+                x = nn.relu(x)
+            elif lname == "leaky relu":
+                x = nn.leaky_relu(x, negative_slope=config if config is not None else 0.2)
+            elif lname == "prelu":
+                # torch PReLU: single learnable slope, init 0.25
+                x = nn.PReLU(negative_slope_init=0.25)(x)
+            elif lname == "tanh":
+                x = jnp.tanh(x)
+            elif lname == "sigmoid":
+                x = nn.sigmoid(x)
+            elif lname == "softplus":
+                x = nn.softplus(x)
+            elif lname == "residual block":
+                inner, act = config
+                x = ResidualBlock(tuple(map(tuple, inner)), tuple(act),
+                                  dtype=self.dtype,
+                                  spectral_norm=self.spectral_norm)(x, train=train)
+            elif lname == "flatten":
+                x = x.reshape(x.shape[0], -1)
+            elif lname == "unflatten":
+                # config is channel-first (C, ...); heads split channels
+                # explicitly in the models, so this is a no-op marker kept for
+                # spec compatibility (see CVAE._split_heads).
+                pass
+            else:
+                raise NotImplementedError(f"Layer {name} not supported yet!")
+        return x
+
+
+def merge_aux_label(y, aux_label):
+    """Concatenate scalar labels as constant feature maps (NHWC).
+
+    models/utils.py:159-182 equivalent: y (N,H,W,C), aux (N,) or (N,K)
+    -> (N,H,W,C+K).
+    """
+    aux_label = jnp.asarray(aux_label)
+    if aux_label.ndim == 0:
+        aux_label = aux_label.reshape(1, 1)
+    elif aux_label.ndim == 1:
+        aux_label = aux_label.reshape(-1, 1)
+    if aux_label.shape[0] != y.shape[0]:
+        raise ValueError("aux_label batch size needs to match that of y")
+    n, h, w = y.shape[0], y.shape[1], y.shape[2]
+    aux = jnp.broadcast_to(aux_label[:, None, None, :],
+                           (n, h, w, aux_label.shape[-1])).astype(y.dtype)
+    return jnp.concatenate([y, aux], axis=-1)

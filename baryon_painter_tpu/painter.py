@@ -1,0 +1,160 @@
+"""Painter API: the user-facing painting surface.
+
+Preserves the reference's interface (painter.py:16-30, 371-392):
+
+    painter = CVAEPainter("path/to/checkpoint")        # state+meta pair
+    pressure = painter.paint(dm_tile, z=0.5)           # single 512^2 tile
+
+and adds the TPU-native batched path the reference lacks:
+
+    pressure = painter.paint_batch(tiles, zs)          # (N,512,512) at once
+
+Transform -> prior-sample -> decode -> inverse transform all run inside one
+jit graph on device; tiles are painted in batches instead of one by one
+(the reference's lightcone loop paints tile-at-a-time on CPU,
+process_SLICS.py:207 — batching is the headline speedup there).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baryon_painter_tpu.models.cvae import CVAE
+from baryon_painter_tpu.train import checkpoint as ckpt
+
+__all__ = ["Painter", "CVAEPainter"]
+
+
+class Painter:
+    """Abstract base class for a baryon painter (reference painter.py:16-30)."""
+
+    def load_state_from_file(self, filename):
+        raise NotImplementedError("This is an abstract base class.")
+
+    def paint(self, input, **kwargs):
+        raise NotImplementedError("This is an abstract base class.")
+
+
+class CVAEPainter(Painter):
+    def __init__(self, filename: Optional[str] = None,
+                 model: Optional[CVAE] = None,
+                 variables: Optional[Dict[str, Any]] = None,
+                 meta: Optional[dict] = None,
+                 seed: int = 0):
+        if filename is not None:
+            self.load_state_from_file(filename)
+        else:
+            if model is None or variables is None or meta is None:
+                raise ValueError("Provide either filename or "
+                                 "(model, variables, meta).")
+            self._setup(model, variables, meta)
+        self._base_rng = jax.random.PRNGKey(seed)
+        self._n_painted = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _setup(self, model, variables, meta):
+        self.model = model
+        self.variables = {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})}
+        self.meta = meta
+        self.architecture = meta["model_architecture"]
+        self.input_field = meta["input_field"]
+        self.label_fields = list(meta["label_fields"])
+        self.tile_L = meta["tile_L"]
+        self.tile_size = meta["tile_size"]
+        self.transforms, self.stats = ckpt.transforms_from_meta(meta)
+
+        in_tf = self.transforms[self.input_field]
+        in_stats = self.stats[self.input_field]
+        out_field = self.label_fields[0]
+        out_tf = self.transforms[out_field]
+        out_stats = self.stats[out_field]
+
+        @partial(jax.jit, static_argnames=("transform", "inverse_transform",
+                                           "return_var"))
+        def _paint(variables, tiles, zs, rng, transform=True,
+                   inverse_transform=True, return_var=False):
+            y = tiles
+            if transform:
+                y = in_tf.forward(y, in_stats, zs)
+            y = y[..., None]  # NHWC
+            res = self.model.apply(variables, y, zs, train=False,
+                                   return_var=return_var,
+                                   rngs={"sample": rng},
+                                   method=self.model.sample_P)
+            if return_var:
+                pred, var = res
+            else:
+                pred, var = res, None
+            pred = pred[..., 0]
+            if inverse_transform:
+                pred = out_tf.inverse(pred, out_stats, zs)
+            return (pred, var[..., 0]) if return_var else pred
+
+        self._paint_fn = _paint
+
+    @classmethod
+    def from_trainer(cls, trainer, seed: int = 0):
+        meta = ckpt.meta_from_dataset(trainer.training_data,
+                                      trainer.model.architecture)
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        return cls(model=trainer.model, variables=variables, meta=meta,
+                   seed=seed)
+
+    def load_state_from_file(self, filename: str):
+        """Load a (state.msgpack, meta.json) checkpoint pair by base path."""
+        state, meta = ckpt.load_checkpoint(filename)
+        model = CVAE(meta["model_architecture"])
+        self._setup(model, state, meta)
+
+    def save_state_to_file(self, filename: str):
+        ckpt.save_checkpoint(filename,
+                             {"params": self.variables["params"],
+                              "batch_stats": self.variables["batch_stats"],
+                              "step": jnp.zeros((), jnp.int32)},
+                             self.meta)
+
+    # ------------------------------------------------------------------ #
+
+    def _next_rng(self):
+        self._n_painted += 1
+        return jax.random.fold_in(self._base_rng, self._n_painted)
+
+    def paint(self, input, z: float = 0.0, transform: bool = True,
+              inverse_transform: bool = True, return_var: bool = False,
+              rng=None):
+        """Paint a single (H, W) tile; reference parity (painter.py:371-392)."""
+        tile = jnp.asarray(input, jnp.float32)
+        if tile.ndim != 2:
+            raise ValueError(f"paint expects a 2-D tile, got {tile.shape}.")
+        expected = tuple(self.architecture["dim_y"][1:])
+        if tile.shape != expected:
+            raise ValueError(
+                f"Shape mismatch between input and model: {tile.shape} vs "
+                f"{expected}")
+        out = self.paint_batch(tile[None], jnp.full((1,), z, jnp.float32),
+                               transform=transform,
+                               inverse_transform=inverse_transform,
+                               return_var=return_var, rng=rng)
+        if return_var:
+            return np.asarray(out[0][0]), np.asarray(out[1][0])
+        return np.asarray(out[0])
+
+    def paint_batch(self, tiles, zs, transform: bool = True,
+                    inverse_transform: bool = True, return_var: bool = False,
+                    rng=None):
+        """Paint a batch of tiles (N, H, W) with per-tile redshifts (N,)."""
+        tiles = jnp.asarray(tiles, jnp.float32)
+        zs = jnp.asarray(zs, jnp.float32)
+        if rng is None:
+            rng = self._next_rng()
+        return self._paint_fn(self.variables, tiles, zs, rng,
+                              transform=transform,
+                              inverse_transform=inverse_transform,
+                              return_var=return_var)

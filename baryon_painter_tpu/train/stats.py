@@ -1,0 +1,111 @@
+"""Training statistics bookkeeping.
+
+Re-implements the reference's ``TrainingStats`` (painter.py:447-545): ordered
+loss terms with full history + moving averages, buffered text-file dumps in
+the SAME file format (header '# Batch nr, sample nr, <terms>'; rows
+'<batch> <sample> <values...>' — see trained_models/CVAE/fiducial/
+training_stats.txt), and console pretty-printing. Plotting is decoupled
+(SURVEY §2 quirk 5): ``plot_loss`` imports matplotlib lazily.
+"""
+from __future__ import annotations
+
+import collections
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["TrainingStats"]
+
+
+class TrainingStats:
+    def __init__(self, loss_terms: Sequence[str] = (),
+                 moving_average_window: int = 100,
+                 dump_to_file_frequency: int = 10,
+                 stats_filename: Optional[str] = None):
+        self.mavg_window = moving_average_window
+        self.n_batches = 0
+        self.n_processed_samples: List[int] = []
+        self.last_dump_to_file = 0
+        self.dump_to_file_frequency = dump_to_file_frequency
+
+        self.loss_terms = collections.OrderedDict(
+            (term, {"all": [], "mavg": []}) for term in loss_terms)
+
+        self.stats_filename = stats_filename
+        if stats_filename is not None:
+            with open(stats_filename, "w") as f:
+                f.write("# Batch nr, sample nr, {}\n".format(
+                    ", ".join(loss_terms)))
+
+    def push_loss(self, n_sample: int, *args):
+        if len(args) != len(self.loss_terms):
+            raise ValueError(
+                f"Expected {len(self.loss_terms)} loss values, got {len(args)}.")
+        self.n_batches += 1
+        self.n_processed_samples.append(int(n_sample))
+        for value, term in zip(args, self.loss_terms.values()):
+            term["all"].append(float(value))
+            window = min(self.n_batches, self.mavg_window)
+            term["mavg"].append(float(np.mean(term["all"][-window:])))
+        if (self.n_batches - self.dump_to_file_frequency >= self.last_dump_to_file
+                and self.stats_filename is not None):
+            self.flush_to_file()
+
+    def flush_to_file(self):
+        if self.stats_filename is None:
+            return
+        with open(self.stats_filename, "a") as f:
+            for s in range(self.last_dump_to_file, self.n_batches):
+                f.write(self.get_str(s) + "\n")
+        self.last_dump_to_file = self.n_batches
+
+    def get_str(self, idx: int = -1) -> str:
+        batch = idx if idx >= 0 else self.n_batches + idx + 1
+        s = f"{batch} {self.n_processed_samples[idx]} "
+        s += " ".join(str(term["all"][idx]) for term in self.loss_terms.values())
+        return s
+
+    def get_pretty_str(self, n_col: int = 1) -> str:
+        s = ""
+        width = max(len(k) for k in self.loss_terms)
+        per_row = 0
+        for key, term in self.loss_terms.items():
+            s += "{key:<{width}s}: {value:8.3e}     ".format(
+                key=key, width=width, value=term["mavg"][-1])
+            per_row += 1
+            if per_row >= n_col:
+                s += "\n"
+                per_row = 0
+        return s
+
+    def plot_loss(self, loss_term="ELBO", window_size=200, burn_in=100):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, figsize=(8, 3))
+        fig.subplots_adjust(wspace=0.3)
+        n = self.n_batches
+        n_sample = self.n_processed_samples
+        loss = self.loss_terms[loss_term]["all"]
+        mavg = self.loss_terms[loss_term]["mavg"]
+
+        lo = max(0, n - window_size)
+        ax[1].plot(n_sample[lo:], loss[lo:], alpha=0.5, label=loss_term)
+        ax[1].plot(n_sample[lo:], mavg[lo:], label=f"{loss_term} mavg")
+        ax[1].legend()
+        ax[1].set_xlabel("Number of samples")
+        ax[1].set_ylabel(loss_term)
+
+        xs, ys, ms = n_sample, loss, mavg
+        if n > burn_in:
+            xs, ys, ms = xs[burn_in:], ys[burn_in:], ms[burn_in:]
+        if len(ys) > 500:
+            step = len(ys) // 500
+            xs, ys, ms = xs[::step], ys[::step], ms[::step]
+        ax[0].semilogy(xs, np.abs(ys), alpha=0.5, label=loss_term)
+        ax[0].semilogy(xs, np.abs(ms), label=f"{loss_term} mavg")
+        ax[0].legend()
+        ax[0].set_xlabel("Number of samples")
+        ax[0].set_ylabel(loss_term)
+        return fig, ax

@@ -1,0 +1,336 @@
+"""CVAE training engine: one fused jit step, TPU-first.
+
+Contrast with the reference loop (painter.py:60-293): there, transforms run
+in numpy inside DataLoader workers, the model forward/backward runs per batch,
+and schedules mutate module attributes. Here a single jit graph contains
+  raw tiles -> on-device transforms -> CVAE forward -> ELBO -> grads -> adam
+with the learning rate, alpha_var and beta_KL passed as *traced scalars* so
+pepoch schedules never trigger recompiles. Changing the batch size compiles
+one graph per bucket (4/8/16/24 in the fiducial ramp) which jit caches.
+
+Data parallelism is sharding, not wrapper classes: pass a
+``jax.sharding.Mesh`` with a 'data' axis and the batch is sharded over it;
+XLA inserts the gradient psum and computes batch-norm statistics over the
+GLOBAL batch (sync-BN) automatically because the jit graph has global-array
+semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset
+from baryon_painter_tpu.models.cvae import CVAE
+from baryon_painter_tpu.train import checkpoint as ckpt
+from baryon_painter_tpu.train.stats import TrainingStats
+
+__all__ = ["TrainConfig", "TrainState", "CVAETrainer"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    batch_size: int = 1
+    n_pepoch: int = 5
+    pepoch_size: int = 3136
+    adaptive_learning_rate: Optional[Callable[[int], float]] = None
+    adaptive_batch_size: Optional[Callable[[int], int]] = None
+    var_anneal_fn: Optional[Callable[[int], float]] = None
+    KL_anneal_fn: Optional[Callable[[int], float]] = None
+    validation_loss_frequency: int = 100       # in samples
+    validation_loss_batch_size: int = 16
+    checkpoint_frequency: int = 1000           # in samples
+    statistics_report_frequency: int = 50      # in samples; 0 = off
+    mavg_window_size: int = 20
+    output_path: Optional[str] = None
+    seed: int = 0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    verbose: bool = False
+
+
+class CVAETrainer:
+    def __init__(self, model: CVAE, training_data: BahamasTileDataset,
+                 test_data: Optional[BahamasTileDataset] = None,
+                 config: TrainConfig = TrainConfig(),
+                 mesh: Optional[Mesh] = None):
+        self.model = model
+        self.training_data = training_data
+        self.test_data = test_data
+        self.config = config
+        self.mesh = mesh
+
+        ds = training_data
+        t = ds.tile_size
+        n_labels = len(ds.label_fields)
+        self._rng = jax.random.PRNGKey(config.seed)
+        self._rng, init_rng, sample_rng = jax.random.split(self._rng, 3)
+        x0 = jnp.zeros((1, t, t, n_labels), jnp.float32)
+        y0 = jnp.zeros((1, t, t, 1), jnp.float32)
+        aux0 = jnp.zeros((1,), jnp.float32)
+        variables = model.init({"params": init_rng, "sample": sample_rng},
+                               x0, y0, aux0)
+
+        self.optimizer = optax.chain(
+            optax.scale_by_adam(b1=config.adam_b1, b2=config.adam_b2),
+            optax.scale(-1.0))
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+
+        # capture transform specs + stats tables as jit constants
+        self._stats = {f: ds.stats[f] for f in ds.fields}
+        self._transforms = {f: ds.transforms[f] for f in ds.fields}
+        self._input_field = ds.input_field
+        self._label_fields = list(ds.label_fields)
+
+        if mesh is not None:
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, replicated)
+        else:
+            self._data_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------ #
+
+    def _to_channels(self, arr, field, z):
+        """Transform a raw (N,H,W) field and shape to NHWC."""
+        out = self._transforms[field].forward(arr, self._stats[field], z)
+        if out.ndim == 3:
+            return out[..., None]
+        # split-scale style (N, C, H, W) -> NHWC
+        return jnp.moveaxis(out, -3, -1)
+
+    def _prepare(self, raw_input, raw_labels, z):
+        y = self._to_channels(raw_input, self._input_field, z)
+        xs = [self._to_channels(raw_labels[j], f, z)
+              for j, f in enumerate(self._label_fields)]
+        x = jnp.concatenate(xs, axis=-1)
+        return x.astype(jnp.float32), y.astype(jnp.float32)
+
+    def _forward(self, params, batch_stats, raw_input, raw_labels, z, rng,
+                 alpha_var, beta_KL, train):
+        x, y = self._prepare(raw_input, raw_labels, z)
+        out, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, y, z, alpha_var=alpha_var, beta_KL=beta_KL, train=train,
+            rngs={"sample": rng}, mutable=["batch_stats"])
+        return out, updates
+
+    def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
+                         rng, lr, alpha_var, beta_KL):
+        def loss_fn(params):
+            out, updates = self._forward(params, state.batch_stats, raw_input,
+                                         raw_labels, z, rng, alpha_var,
+                                         beta_KL, True)
+            return -out["elbo"], (out, updates)
+
+        (_, (out, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        direction, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                     state.params)
+        direction = jax.tree.map(lambda u: lr * u, direction)
+        params = optax.apply_updates(state.params, direction)
+        new_state = TrainState(params=params,
+                               batch_stats=updates["batch_stats"],
+                               opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {k: v for k, v in out.items()
+                   if k not in ("x_mu", "x_var")}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, raw_input, raw_labels, z,
+                        rng, alpha_var, beta_KL):
+        # Loss parity with the reference's validate(compute_loss=True)
+        # (painter.py:312-314): batch-mode statistics, no state mutation.
+        out, _ = self._forward(state.params, state.batch_stats, raw_input,
+                               raw_labels, z, rng, alpha_var, beta_KL, True)
+        return {k: v for k, v in out.items() if k not in ("x_mu", "x_var")}
+
+    # ------------------------------------------------------------------ #
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        arrs = (batch["input"], batch["labels"], batch["z"])
+        if self._data_sharding is None:
+            return tuple(jnp.asarray(a) for a in arrs)
+        sh = self._data_sharding
+        shardings = (sh, NamedSharding(self.mesh, P(None, "data")),
+                     sh)
+        return tuple(jax.device_put(a, s) for a, s in zip(arrs, shardings))
+
+    def step(self, batch: Dict[str, np.ndarray], lr: float,
+             alpha_var: float = 1.0, beta_KL: float = 1.0):
+        """Run one fused training step on a raw host batch."""
+        raw_input, raw_labels, z = self._put_batch(batch)
+        step_rng = jax.random.fold_in(self._rng, int(self.state.step))
+        self.state, metrics = self._train_step(
+            self.state, raw_input, raw_labels, z, step_rng,
+            jnp.float32(lr), jnp.float32(alpha_var), jnp.float32(beta_KL))
+        return metrics
+
+    def eval_loss(self, batch, alpha_var=1.0, beta_KL=1.0, seed=0):
+        raw_input, raw_labels, z = self._put_batch(batch)
+        return self._eval_step(self.state, raw_input, raw_labels, z,
+                               jax.random.PRNGKey(seed), jnp.float32(alpha_var),
+                               jnp.float32(beta_KL))
+
+    def stats_tuple(self, metrics) -> tuple:
+        vals = [float(metrics["elbo"]), -float(metrics["kl"])]
+        vals += list(np.asarray(metrics["log_likelihood"]))
+        if "log_likelihood_fixed_var" in metrics:
+            vals += list(np.asarray(metrics["log_likelihood_fixed_var"]))
+            vals += list(np.asarray(metrics["log_likelihood_free_var"]))
+        return tuple(vals)
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, validation_pepochs: Sequence[int] = (),
+              on_validation: Optional[Callable] = None):
+        """Full training loop with pepoch schedules; returns
+        (training_stats, validation_stats). Mirrors painter.py:60-293."""
+        cfg = self.config
+        ds = self.training_data
+
+        stats_labels = list(self.model.get_stats_labels())
+        for j, f in enumerate(self._label_fields):
+            stats_labels = [l.replace(f"{j}", f"{f}_0") for l in stats_labels]
+        stats_labels += ["lr", "batch_size"]
+
+        out_path = cfg.output_path
+        train_fn = val_fn = ckpt_template = None
+        if out_path is not None:
+            os.makedirs(out_path, exist_ok=True)
+            train_fn = os.path.join(out_path, "training_stats.txt")
+            val_fn = os.path.join(out_path, "validation_stats.txt")
+            ckpt_template = os.path.join(
+                out_path, "checkpoint_sample{sample:0>10}")
+
+        training_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
+                                       stats_filename=train_fn)
+        validation_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
+                                         stats_filename=val_fn,
+                                         dump_to_file_frequency=1)
+
+        batch_size = (cfg.adaptive_batch_size(0)
+                      if cfg.adaptive_batch_size else cfg.batch_size)
+        lr_mult = (cfg.adaptive_learning_rate(0)
+                   if cfg.adaptive_learning_rate else 1.0)
+        alpha_var = cfg.var_anneal_fn(0) if cfg.var_anneal_fn else 1.0
+        beta_KL = cfg.KL_anneal_fn(0) if cfg.KL_anneal_fn else 1.0
+
+        data_rng = np.random.default_rng(cfg.seed)
+        n_samples = 0
+        i_pepoch = 0
+        last_pepoch_samples = 0
+        last_val_loss = 0
+        last_ckpt = 0
+        last_report = 0
+        t0 = time.time()
+
+        while i_pepoch < cfg.n_pepoch:
+            # ---- pepoch boundary -------------------------------------- #
+            if n_samples - cfg.pepoch_size >= last_pepoch_samples and n_samples:
+                i_pepoch += 1
+                last_pepoch_samples = n_samples
+                if i_pepoch >= cfg.n_pepoch:
+                    break
+                if cfg.adaptive_learning_rate:
+                    lr_mult = cfg.adaptive_learning_rate(i_pepoch)
+                if cfg.var_anneal_fn:
+                    alpha_var = cfg.var_anneal_fn(i_pepoch)
+                if cfg.KL_anneal_fn:
+                    beta_KL = cfg.KL_anneal_fn(i_pepoch)
+                if cfg.adaptive_batch_size:
+                    batch_size = cfg.adaptive_batch_size(i_pepoch)
+                if i_pepoch in validation_pepochs and on_validation:
+                    on_validation(self, i_pepoch)
+
+            idx = ds.sample_indices(data_rng, batch_size)
+            batch = ds.get_raw_batch(idx)
+            metrics = self.step(batch, lr=cfg.learning_rate * lr_mult,
+                                alpha_var=alpha_var, beta_KL=beta_KL)
+            n_samples += batch_size
+
+            training_stats.push_loss(n_samples, *self.stats_tuple(metrics),
+                                     cfg.learning_rate * lr_mult, batch_size)
+
+            if (self.test_data is not None
+                    and n_samples - cfg.validation_loss_frequency >= last_val_loss):
+                last_val_loss = n_samples
+                vidx = self.test_data.sample_indices(
+                    data_rng, cfg.validation_loss_batch_size)
+                vmetrics = self.eval_loss(self.test_data.get_raw_batch(vidx),
+                                          alpha_var, beta_KL)
+                validation_stats.push_loss(
+                    n_samples, *self.stats_tuple(vmetrics),
+                    cfg.learning_rate * lr_mult, batch_size)
+
+            if (ckpt_template is not None
+                    and n_samples - cfg.checkpoint_frequency >= last_ckpt):
+                last_ckpt = n_samples
+                self.save(ckpt_template.format(sample=n_samples))
+
+            if (cfg.statistics_report_frequency > 0
+                    and n_samples - cfg.statistics_report_frequency >= last_report):
+                last_report = n_samples
+                if cfg.verbose:
+                    elbo = training_stats.loss_terms["ELBO"]["mavg"][-1]
+                    rate = n_samples / (time.time() - t0)
+                    print(f"P-Epoch [{i_pepoch}/{cfg.n_pepoch}] "
+                          f"samples {n_samples} ELBO(mavg) {elbo:.3e} "
+                          f"({rate:.1f} samples/s)")
+
+        training_stats.flush_to_file()
+        validation_stats.flush_to_file()
+        if out_path is not None:
+            self.save(os.path.join(out_path, "model"))
+        return training_stats, validation_stats
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, base_path: str, include_opt_state: bool = True):
+        state = {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats,
+                 "step": self.state.step}
+        if include_opt_state:
+            state["opt_state"] = self.state.opt_state
+        meta = ckpt.meta_from_dataset(self.training_data,
+                                      self.model.architecture)
+        ckpt.save_checkpoint(base_path, state, meta)
+
+    def restore(self, base_path: str):
+        target = {"params": self.state.params,
+                  "batch_stats": self.state.batch_stats,
+                  "step": self.state.step,
+                  "opt_state": self.state.opt_state}
+        state, meta = ckpt.load_checkpoint(base_path, target)
+        self.state = TrainState(params=state["params"],
+                                batch_stats=state["batch_stats"],
+                                opt_state=state.get("opt_state",
+                                                    self.state.opt_state),
+                                step=jnp.asarray(state["step"]))
+        return meta

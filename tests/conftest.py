@@ -5,8 +5,9 @@ multi-device sharding logic (DP/sync-BN) on 8 virtual XLA CPU devices.
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force-set: the host session
+# may preset JAX_PLATFORMS=axon (the tunneled TPU); tests must be hermetic.
+os.environ["JAX_PLATFORMS"] = os.environ.get("BPT_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep compilation deterministic and quick for tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compile cache: trainer/painter graphs compile once per machine,
+# not once per test session (single-core CPU compiles are ~60 s each).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax
+
+# The axon sitecustomize force-registers the TPU backend programmatically
+# (overriding JAX_PLATFORMS), so the env var alone is not enough.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 import pytest

@@ -1,0 +1,176 @@
+"""Trainer tests: fused step, schedules, checkpoint resume, DP sharding."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset, load_file_info
+from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+from baryon_painter_tpu.models.cvae import CVAE, fiducial_cvae_architecture
+from baryon_painter_tpu.train.checkpoint import (load_checkpoint,
+                                                 transforms_from_meta)
+from baryon_painter_tpu.train.schedules import (fiducial_adaptive_batch_size,
+                                                fiducial_adaptive_lr)
+from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+from baryon_painter_tpu.transforms import RangeCompress
+
+TILE = 32
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stacks"))
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 1.0))
+    return BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+
+
+@pytest.fixture(scope="module")
+def arch():
+    return fiducial_cvae_architecture(tile_size=TILE, n_res_blocks=1)
+
+
+def make_trainer(dataset, arch, mesh=None, **cfg_kw):
+    cfg = TrainConfig(learning_rate=1e-3, batch_size=4, seed=0, **cfg_kw)
+    return CVAETrainer(CVAE(arch), dataset, test_data=dataset, config=cfg,
+                       mesh=mesh)
+
+
+@pytest.fixture(scope="module")
+def shared_trainer(dataset, arch):
+    return make_trainer(dataset, arch)
+
+
+def test_single_step_updates_params(dataset, arch, shared_trainer):
+    tr = shared_trainer
+    step0 = int(tr.state.step)
+    p0 = jax.tree.map(np.asarray, tr.state.params)
+    batch = dataset.get_raw_batch(np.arange(4))
+    m = tr.step(batch, lr=1e-3)
+    assert np.isfinite(float(m["elbo"]))
+    p1 = tr.state.params
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                         p1, p0)
+    assert max(jax.tree.leaves(diffs)) > 0
+    assert int(tr.state.step) == step0 + 1
+
+
+def test_eval_does_not_mutate(dataset, arch, shared_trainer):
+    tr = shared_trainer
+    s0 = jax.tree.map(np.asarray, tr.state.params)
+    m = tr.eval_loss(dataset.get_raw_batch(np.arange(4)))
+    assert np.isfinite(float(m["elbo"]))
+    s1 = tr.state.params
+    same = jax.tree.map(lambda a, b: np.array_equal(np.asarray(a), b), s1, s0)
+    assert all(jax.tree.leaves(same))
+
+
+def test_elbo_improves(dataset, arch, shared_trainer):
+    tr = shared_trainer
+    rng = np.random.default_rng(0)
+    elbos = []
+    for i in range(25):
+        idx = dataset.sample_indices(rng, 8)
+        m = tr.step(dataset.get_raw_batch(idx), lr=1e-3)
+        elbos.append(float(m["elbo"]))
+    assert np.mean(elbos[-5:]) > np.mean(elbos[:5])
+
+
+def test_train_loop_with_schedules_and_stats(dataset, arch, tmp_path):
+    out = str(tmp_path / "run")
+    tr = make_trainer(
+        dataset, arch,
+        n_pepoch=2, pepoch_size=16,
+        adaptive_batch_size=lambda p: 2 if p == 0 else 4,
+        adaptive_learning_rate=lambda p: 0.5 ** p,
+        var_anneal_fn=lambda p: min(1.0, 0.5 * p),
+        KL_anneal_fn=lambda p: 1.0,
+        validation_loss_frequency=8, validation_loss_batch_size=2,
+        checkpoint_frequency=1000, statistics_report_frequency=0,
+        output_path=out)
+    tstats, vstats = tr.train()
+    assert tstats.n_batches > 0 and vstats.n_batches > 0
+    # stats text format parity: header + numeric rows
+    with open(os.path.join(out, "training_stats.txt")) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("# Batch nr, sample nr, ELBO, KL_term")
+    row = lines[1].split()
+    # batch, sample, 5 loss terms (predict_var), lr, batch_size
+    assert len(row) == 2 + 5 + 2
+    float(row[2])  # parses
+    # final checkpoint written
+    assert os.path.exists(os.path.join(out, "model_state.msgpack"))
+    assert os.path.exists(os.path.join(out, "model_meta.json"))
+
+
+def test_checkpoint_roundtrip_and_resume(dataset, arch, tmp_path, shared_trainer):
+    tr = shared_trainer
+    batch = dataset.get_raw_batch(np.arange(4))
+    tr.step(batch, lr=1e-3)
+    saved_step = int(tr.state.step)
+    base = str(tmp_path / "ck")
+    tr.save(base)
+
+    tr2 = make_trainer(dataset, arch)
+    meta = tr2.restore(base)
+    assert meta["model_architecture"]["n_x_features"] == 1
+    eq = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                      tr.state.params, tr2.state.params)
+    assert all(jax.tree.leaves(eq))
+    assert int(tr2.state.step) == saved_step
+    # transforms rebuild from declarative meta (no dill)
+    transforms, stats = transforms_from_meta(meta)
+    assert set(transforms) == {"dm", "pressure"}
+    x = jnp.ones((4, 4)) * 2.0
+    y = transforms["dm"].forward(x, stats["dm"], 0.5)
+    rec = transforms["dm"].inverse(y, stats["dm"], 0.5)
+    np.testing.assert_allclose(np.asarray(rec), 2.0, rtol=1e-4)
+    # resumed trainer continues training
+    m = tr2.step(batch, lr=1e-3)
+    assert np.isfinite(float(m["elbo"]))
+    assert int(tr2.state.step) == saved_step + 1
+
+
+def test_data_parallel_matches_single_device(dataset, arch):
+    """Same batch, same init: 8-way DP step must equal single-device step
+    (global-batch BN + psum'd grads have identical semantics)."""
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest should provide 8 CPU devices"
+    mesh = Mesh(devices, axis_names=("data",))
+    batch = dataset.get_raw_batch(np.arange(8))
+
+    tr_single = make_trainer(dataset, arch)
+    m_single = tr_single.step(batch, lr=1e-3)
+
+    tr_dp = make_trainer(dataset, arch, mesh=mesh)
+    m_dp = tr_dp.step(batch, lr=1e-3)
+
+    np.testing.assert_allclose(float(m_single["elbo"]), float(m_dp["elbo"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_single["kl"]), float(m_dp["kl"]),
+                               rtol=2e-4, atol=1e-6)
+    # Post-adam params: the first-step update is ~sign(g), so elements with
+    # g ~ 0 may flip sign under cross-device reduction-order noise (bounded
+    # by 2*lr). Require near-equality overall and a tiny flipped fraction.
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_single.state.params)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_dp.state.params)])
+    assert np.max(np.abs(a - b)) < 2.5e-3  # <= 2*lr + eps
+    assert np.mean(np.abs(a - b) > 1e-5) < 0.02
+
+
+def test_fiducial_schedules():
+    assert [fiducial_adaptive_batch_size(p) for p in (0, 7, 8, 16, 31, 32, 100)] \
+        == [4, 4, 8, 16, 16, 24, 24]
+    assert fiducial_adaptive_lr(0) == 1.0
+    assert fiducial_adaptive_lr(63) == 1.0
+    assert fiducial_adaptive_lr(64) == 0.5
+    assert fiducial_adaptive_lr(96) == 0.25
+    assert fiducial_adaptive_lr(10000) == 1e-6
