@@ -154,9 +154,15 @@ class CVAE(nn.Module):
         """
         M = x.shape[0]
         z_mu, z_log_var = self.Q(x, y, aux_label, train=train)
+        # latent heads are tiny; do the KL/reparam math in float32 so a
+        # bfloat16 compute dtype cannot underflow the KL term
+        z_mu = z_mu.astype(jnp.float32)
+        z_log_var = z_log_var.astype(jnp.float32)
         z = self.sample_z(self.make_rng("sample"), z_mu, z_log_var, self.L)
 
         prior_mu, prior_log_var = self.prior(y, aux_label, train=train)
+        prior_mu = prior_mu.astype(jnp.float32)
+        prior_log_var = prior_log_var.astype(jnp.float32)
         prior_var = jnp.exp(prior_log_var)
         kl = 0.5 / M * jnp.sum(
             (prior_mu - z_mu) ** 2 / prior_var

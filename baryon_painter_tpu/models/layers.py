@@ -33,6 +33,24 @@ def torch_conv_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def kaiming_normal_init(key, shape, dtype=jnp.float32):
+    """He-normal (fan_in, ReLU gain); CGAN init scheme
+    (trained_models/README.md:102)."""
+    kh, kw, cin, _ = shape
+    std = np.sqrt(2.0 / (kh * kw * cin))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def xavier_init(gain: float):
+    """Glorot-uniform with gain; the CGAN's last-layer init
+    (trained_models/README.md:102, gain=0.25)."""
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        bound = gain * np.sqrt(6.0 / (kh * kw * (cin + cout)))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class Conv2d(nn.Module):
     features: int
     kernel_size: int
@@ -46,6 +64,12 @@ class Conv2d(nn.Module):
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
         cin = x.shape[-1]
+        out_h = (x.shape[1] + 2 * p - k) // s + 1
+        if out_h <= 0:
+            raise ValueError(
+                f"Conv2d(k={k}, s={s}, p={p}) on a {x.shape[1]}x{x.shape[2]} "
+                f"input produces a {out_h}-pixel output; the tile is too "
+                f"small for this architecture.")
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
         dtype = self.dtype or x.dtype
@@ -53,7 +77,6 @@ class Conv2d(nn.Module):
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(s, s), padding=[(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -67,12 +90,14 @@ class Conv2d(nn.Module):
 
 
 class ConvTranspose2d(nn.Module):
-    """Fractionally-strided conv with PyTorch's output-size convention."""
+    """Fractionally-strided conv with PyTorch's output-size convention:
+    out = (in - 1)*stride - 2*padding + kernel + output_padding."""
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    output_padding: int = 0
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     kernel_init: Any = torch_conv_init
@@ -87,12 +112,12 @@ class ConvTranspose2d(nn.Module):
         pad = k - 1 - p
         if pad < 0:
             raise ValueError(f"Unsupported transp-conv padding: k={k}, p={p}.")
+        pad_cfg = [(pad, pad + self.output_padding)] * 2
         out = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
-            window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+            window_strides=(1, 1), padding=pad_cfg,
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -183,6 +208,7 @@ class SpecSequential(nn.Module):
                     kernel_size=config["kernel_size"],
                     stride=config.get("stride", 1),
                     padding=config.get("padding", 0),
+                    output_padding=config.get("output_padding", 0),
                     use_bias=config.get("bias", True),
                     dtype=self.dtype, kernel_init=self.kernel_init))
                 x = m(x, **sn_kw) if sn_kw else m(x)

@@ -26,7 +26,7 @@ import numpy as np
 from baryon_painter_tpu.models.cvae import CVAE
 from baryon_painter_tpu.train import checkpoint as ckpt
 
-__all__ = ["Painter", "CVAEPainter"]
+__all__ = ["Painter", "CVAEPainter", "CGANPainter", "load_painter"]
 
 
 class Painter:
@@ -158,3 +158,107 @@ class CVAEPainter(Painter):
                               transform=transform,
                               inverse_transform=inverse_transform,
                               return_var=return_var)
+
+
+class CGANPainter(Painter):
+    """Generator-only painting with the CGAN model family
+    (the reference's GAN_Painter capability, create_lightcone.py:43-54,
+    made first-class in-repo)."""
+
+    def __init__(self, filename: Optional[str] = None,
+                 generator=None, variables: Optional[dict] = None,
+                 meta: Optional[dict] = None):
+        if filename is not None:
+            self.load_state_from_file(filename)
+        else:
+            if generator is None or variables is None or meta is None:
+                raise ValueError("Provide either filename or "
+                                 "(generator, variables, meta).")
+            self._setup(generator, variables, meta)
+
+    def _setup(self, generator, variables, meta):
+        from baryon_painter_tpu.models.cgan import CGANGenerator  # noqa
+        self.generator = generator
+        self.variables = variables
+        self.meta = meta
+        self.input_field = meta["input_field"]
+        self.label_fields = list(meta["label_fields"])
+        self.tile_L = meta["tile_L"]
+        self.tile_size = meta["tile_size"]
+        self.transforms, self.stats = ckpt.transforms_from_meta(meta)
+
+        in_tf = self.transforms[self.input_field]
+        in_stats = self.stats[self.input_field]
+        out_field = self.label_fields[0]
+        out_tf = self.transforms[out_field]
+        out_stats = self.stats[out_field]
+
+        @partial(jax.jit, static_argnames=("transform", "inverse_transform"))
+        def _paint(variables, tiles, zs, transform=True,
+                   inverse_transform=True):
+            y = tiles
+            if transform:
+                y = in_tf.forward(y, in_stats, zs)
+            pred = self.generator.apply(variables, y[..., None], zs,
+                                        train=False)[..., 0]
+            if inverse_transform:
+                pred = out_tf.inverse(pred, out_stats, zs)
+            return pred
+
+        self._paint_fn = _paint
+
+    @classmethod
+    def from_trainer(cls, trainer):
+        meta = ckpt.meta_from_dataset(
+            trainer.training_data,
+            {"n_res_blocks": trainer.generator.n_res_blocks,
+             "in_channels": trainer.generator.in_channels},
+            model_kind="cgan")
+        variables = {"params": trainer.state.g_params,
+                     "batch_stats": trainer.state.g_stats}
+        return cls(generator=trainer.generator, variables=variables,
+                   meta=meta)
+
+    def load_state_from_file(self, filename: str):
+        from baryon_painter_tpu.models.cgan import CGANGenerator
+        state, meta = ckpt.load_checkpoint(filename)
+        arch = meta["model_architecture"]
+        generator = CGANGenerator(in_channels=arch.get("in_channels", 2),
+                                  n_res_blocks=arch.get("n_res_blocks", 9))
+        variables = {"params": state["g_params"],
+                     "batch_stats": state.get("g_stats", {})}
+        self._setup(generator, variables, meta)
+
+    def save_state_to_file(self, filename: str):
+        ckpt.save_checkpoint(filename,
+                             {"g_params": self.variables["params"],
+                              "g_stats": self.variables["batch_stats"],
+                              "step": jnp.zeros((), jnp.int32)},
+                             self.meta)
+
+    def paint(self, input, z: float = 0.0, transform: bool = True,
+              inverse_transform: bool = True):
+        tile = jnp.asarray(input, jnp.float32)
+        if tile.ndim != 2:
+            raise ValueError(f"paint expects a 2-D tile, got {tile.shape}.")
+        out = self.paint_batch(tile[None], jnp.full((1,), z, jnp.float32),
+                               transform=transform,
+                               inverse_transform=inverse_transform)
+        return np.asarray(out[0])
+
+    def paint_batch(self, tiles, zs, transform: bool = True,
+                    inverse_transform: bool = True, **_):
+        tiles = jnp.asarray(tiles, jnp.float32)
+        zs = jnp.asarray(zs, jnp.float32)
+        return self._paint_fn(self.variables, tiles, zs, transform=transform,
+                              inverse_transform=inverse_transform)
+
+
+def load_painter(filename: str) -> Painter:
+    """Open a checkpoint pair and dispatch on its model_kind."""
+    import json
+    with open(filename + "_meta.json") as f:
+        kind = json.load(f).get("model_kind", "cvae")
+    if kind == "cgan":
+        return CGANPainter(filename)
+    return CVAEPainter(filename)

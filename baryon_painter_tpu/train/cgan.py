@@ -1,0 +1,290 @@
+"""CGAN adversarial trainer: fused G/D alternation in one jit step.
+
+Hyperparameters per trained_models/README.md:130-139: lambda_perceptual 2.5,
+lr 5e-5, Adam betas (0.5, 0.999), lr decay 0.85 per 1568-sample pepoch,
+batch 6. The perceptual-loss definition lives in the reference's external
+repo; here it is configurable: 'l1' (pixel L1, default) or 'l2'.
+
+One jit graph per step performs: on-device transforms -> G forward ->
+D update (BCE real/fake, fake stop-gradient) -> G update (adversarial BCE +
+perceptual) -> both adam updates. Spectral-norm power-iteration state and
+batch-norm statistics thread functionally through the 'batch_stats'
+collections.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset
+from baryon_painter_tpu.models.cgan import CGANDiscriminator, CGANGenerator
+from baryon_painter_tpu.train import checkpoint as ckpt
+from baryon_painter_tpu.train.stats import TrainingStats
+
+__all__ = ["CGANTrainConfig", "CGANTrainer"]
+
+_EPS = 1e-7
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    g_params: Any
+    g_stats: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class CGANTrainConfig:
+    learning_rate: float = 5e-5
+    adam_b1: float = 0.5
+    adam_b2: float = 0.999
+    lambda_perceptual: float = 2.5
+    perceptual_loss: str = "l1"
+    batch_size: int = 6
+    n_pepoch: int = 5
+    pepoch_size: int = 1568
+    lr_decay: float = 0.85           # per pepoch
+    statistics_report_frequency: int = 50
+    checkpoint_frequency: int = 20000
+    mavg_window_size: int = 20
+    output_path: Optional[str] = None
+    seed: int = 0
+    verbose: bool = False
+
+
+class CGANTrainer:
+    def __init__(self, training_data: BahamasTileDataset,
+                 test_data: Optional[BahamasTileDataset] = None,
+                 config: CGANTrainConfig = CGANTrainConfig(),
+                 generator: Optional[CGANGenerator] = None,
+                 discriminator: Optional[CGANDiscriminator] = None,
+                 mesh: Optional[Mesh] = None):
+        self.training_data = training_data
+        self.test_data = test_data
+        self.config = config
+        self.mesh = mesh
+        self.generator = generator or CGANGenerator()
+        self.discriminator = discriminator or CGANDiscriminator()
+
+        ds = training_data
+        if len(ds.label_fields) != 1:
+            raise ValueError("CGAN supports exactly one label field.")
+        t = ds.tile_size
+        self._rng = jax.random.PRNGKey(config.seed)
+        self._rng, g_rng, d_rng = jax.random.split(self._rng, 3)
+        y0 = jnp.zeros((1, t, t, 1), jnp.float32)
+        x0 = jnp.zeros((1, t, t, 1), jnp.float32)
+        z0 = jnp.zeros((1,), jnp.float32)
+        g_vars = self.generator.init(g_rng, y0, z0)
+        d_vars = self.discriminator.init(d_rng, y0, z0, x0)
+
+        self.optimizer = optax.chain(
+            optax.scale_by_adam(b1=config.adam_b1, b2=config.adam_b2),
+            optax.scale(-1.0))
+        self.state = GANTrainState(
+            g_params=g_vars["params"],
+            g_stats=g_vars.get("batch_stats", {}),
+            g_opt=self.optimizer.init(g_vars["params"]),
+            d_params=d_vars["params"],
+            d_stats=d_vars.get("batch_stats", {}),
+            d_opt=self.optimizer.init(d_vars["params"]),
+            step=jnp.zeros((), jnp.int32))
+
+        self._stats = {f: ds.stats[f] for f in ds.fields}
+        self._transforms = {f: ds.transforms[f] for f in ds.fields}
+        self._input_field = ds.input_field
+        self._label_field = ds.label_fields[0]
+
+        if mesh is not None:
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+        else:
+            self._data_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ #
+
+    def _prepare(self, raw_input, raw_label, z):
+        y = self._transforms[self._input_field].forward(
+            raw_input, self._stats[self._input_field], z)[..., None]
+        x = self._transforms[self._label_field].forward(
+            raw_label, self._stats[self._label_field], z)[..., None]
+        return x.astype(jnp.float32), y.astype(jnp.float32)
+
+    def _perc(self, fake, real):
+        if self.config.perceptual_loss == "l1":
+            return jnp.mean(jnp.abs(fake - real))
+        if self.config.perceptual_loss == "l2":
+            return jnp.mean((fake - real) ** 2)
+        raise ValueError(
+            f"Unknown perceptual loss '{self.config.perceptual_loss}'.")
+
+    def _train_step_impl(self, state: GANTrainState, raw_input, raw_label, z,
+                         rng, lr):
+        x, y = self._prepare(raw_input, raw_label, z)
+
+        # generator forward (updates G batch stats once per step)
+        fake, g_mut = self.generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            y, z, train=True, mutable=["batch_stats"])
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- discriminator update ------------------------------------- #
+        def d_loss_fn(d_params):
+            p_real, d_mut = self.discriminator.apply(
+                {"params": d_params, "batch_stats": state.d_stats},
+                y, z, x, train=True, mutable=["batch_stats"])
+            p_fake, _ = self.discriminator.apply(
+                {"params": d_params, "batch_stats": d_mut["batch_stats"]},
+                y, z, fake_sg, train=True, mutable=["batch_stats"])
+            loss = -(jnp.mean(jnp.log(p_real + _EPS))
+                     + jnp.mean(jnp.log(1 - p_fake + _EPS)))
+            return loss, (d_mut["batch_stats"], jnp.mean(p_real),
+                          jnp.mean(p_fake))
+
+        (d_loss, (d_stats, p_real_m, p_fake_m)), d_grads = \
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        d_dir, d_opt = self.optimizer.update(d_grads, state.d_opt,
+                                             state.d_params)
+        d_params = optax.apply_updates(state.d_params,
+                                       jax.tree.map(lambda u: lr * u, d_dir))
+
+        # ---- generator update (vs the updated discriminator) ----------- #
+        def g_loss_fn(g_params):
+            fake_g, _ = self.generator.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                y, z, train=True, mutable=["batch_stats"])
+            p_fake = self.discriminator.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                y, z, fake_g, train=False)
+            adv = -jnp.mean(jnp.log(p_fake + _EPS))
+            perc = self._perc(fake_g, x)
+            return adv + self.config.lambda_perceptual * perc, (adv, perc)
+
+        (g_loss, (g_adv, g_perc)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_dir, g_opt = self.optimizer.update(g_grads, state.g_opt,
+                                             state.g_params)
+        g_params = optax.apply_updates(state.g_params,
+                                       jax.tree.map(lambda u: lr * u, g_dir))
+
+        new_state = GANTrainState(
+            g_params=g_params, g_stats=g_mut["batch_stats"], g_opt=g_opt,
+            d_params=d_params, d_stats=d_stats, d_opt=d_opt,
+            step=state.step + 1)
+        metrics = {"loss_D": d_loss, "loss_G_adv": g_adv,
+                   "loss_G_perceptual": g_perc, "D_real": p_real_m,
+                   "D_fake": p_fake_m}
+        return new_state, metrics
+
+    # ------------------------------------------------------------------ #
+
+    def step(self, batch: Dict[str, np.ndarray], lr: float):
+        arrs = [jnp.asarray(batch["input"]), jnp.asarray(batch["labels"][0]),
+                jnp.asarray(batch["z"])]
+        if self._data_sharding is not None:
+            arrs = [jax.device_put(a, self._data_sharding) for a in arrs]
+        rng = jax.random.fold_in(self._rng, int(self.state.step))
+        self.state, metrics = self._train_step(self.state, *arrs, rng,
+                                               jnp.float32(lr))
+        return metrics
+
+    def stats_tuple(self, m) -> tuple:
+        return (float(m["loss_D"]), float(m["loss_G_adv"]),
+                float(m["loss_G_perceptual"]), float(m["D_real"]),
+                float(m["D_fake"]))
+
+    def stats_labels(self):
+        return ["loss_D", "loss_G_adv", "loss_G_perceptual", "D_real",
+                "D_fake", "lr", "batch_size"]
+
+    def train(self):
+        cfg = self.config
+        ds = self.training_data
+        out = cfg.output_path
+        train_fn = None
+        if out is not None:
+            os.makedirs(out, exist_ok=True)
+            train_fn = os.path.join(out, "training_stats.txt")
+        stats = TrainingStats(self.stats_labels(), cfg.mavg_window_size,
+                              stats_filename=train_fn)
+        data_rng = np.random.default_rng(cfg.seed)
+        n_samples = 0
+        i_pepoch = 0
+        last_pepoch = 0
+        last_ckpt = 0
+        t0 = time.time()
+        lr = cfg.learning_rate
+        while i_pepoch < cfg.n_pepoch:
+            if n_samples - cfg.pepoch_size >= last_pepoch and n_samples:
+                i_pepoch += 1
+                last_pepoch = n_samples
+                lr = cfg.learning_rate * cfg.lr_decay ** i_pepoch
+                if i_pepoch >= cfg.n_pepoch:
+                    break
+            idx = ds.sample_indices(data_rng, cfg.batch_size)
+            m = self.step(ds.get_raw_batch(idx), lr=lr)
+            n_samples += cfg.batch_size
+            stats.push_loss(n_samples, *self.stats_tuple(m), lr,
+                            cfg.batch_size)
+            if (out is not None
+                    and n_samples - cfg.checkpoint_frequency >= last_ckpt):
+                last_ckpt = n_samples
+                self.save(os.path.join(out, f"checkpoint_sample{n_samples:0>10}"))
+            if cfg.verbose and stats.n_batches % 50 == 0:
+                rate = n_samples / (time.time() - t0)
+                print(f"pepoch [{i_pepoch}/{cfg.n_pepoch}] samples {n_samples} "
+                      f"D {float(m['loss_D']):.3f} G_adv {float(m['loss_G_adv']):.3f} "
+                      f"({rate:.1f} samples/s)")
+        stats.flush_to_file()
+        if out is not None:
+            self.save(os.path.join(out, "model"))
+        return stats
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, base_path: str, include_opt_state: bool = True):
+        state = {"g_params": self.state.g_params,
+                 "g_stats": self.state.g_stats,
+                 "d_params": self.state.d_params,
+                 "d_stats": self.state.d_stats,
+                 "step": self.state.step}
+        if include_opt_state:
+            state["g_opt"] = self.state.g_opt
+            state["d_opt"] = self.state.d_opt
+        meta = ckpt.meta_from_dataset(self.training_data,
+                                      {"n_res_blocks": self.generator.n_res_blocks,
+                                       "in_channels": self.generator.in_channels},
+                                      model_kind="cgan")
+        ckpt.save_checkpoint(base_path, state, meta)
+
+    def restore(self, base_path: str):
+        target = {"g_params": self.state.g_params,
+                  "g_stats": self.state.g_stats,
+                  "d_params": self.state.d_params,
+                  "d_stats": self.state.d_stats,
+                  "step": self.state.step,
+                  "g_opt": self.state.g_opt,
+                  "d_opt": self.state.d_opt}
+        state, meta = ckpt.load_checkpoint(base_path, target)
+        self.state = GANTrainState(
+            g_params=state["g_params"], g_stats=state["g_stats"],
+            g_opt=state.get("g_opt", self.state.g_opt),
+            d_params=state["d_params"], d_stats=state["d_stats"],
+            d_opt=state.get("d_opt", self.state.d_opt),
+            step=jnp.asarray(state["step"]))
+        return meta

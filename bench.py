@@ -1,0 +1,98 @@
+"""Headline benchmark: CVAE training throughput on 512^2 tiles.
+
+Prints ONE JSON line:
+  {"metric": "cvae_train_samples_per_sec", "value": N, "unit": "samples/s",
+   "vs_baseline": N / 14.0}
+
+Baseline: the reference trains ~14 samples/s on a GTX 1080 Ti
+(trained_models/README.md:10; BASELINE.md). Same workload here: fiducial
+~1.7M-param CVAE, 512^2 DM->pressure tiles, batch 24 (the reference's max),
+full fused step (on-device shift-log transforms -> ELBO -> adam update).
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bpt_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 BatchLoader, load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    tile = int(os.environ.get("BPT_BENCH_TILE", "512"))
+    batch = int(os.environ.get("BPT_BENCH_BATCH", "24"))
+    n_steps = int(os.environ.get("BPT_BENCH_STEPS", "20"))
+    dtype_name = os.environ.get("BPT_BENCH_DTYPE", "bfloat16")
+    dtype = {"bfloat16": jax.numpy.bfloat16,
+             "float32": jax.numpy.float32}[dtype_name]
+
+    log(f"bench: devices={jax.devices()} tile={tile} batch={batch} "
+        f"dtype={dtype_name}")
+
+    root = tempfile.mkdtemp()
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=2 * tile,
+                                 redshifts=(0.0, 1.0), seed=0)
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        tile_permutations=True,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    assert ds.tile_size == tile
+
+    arch = fiducial_cvae_architecture(tile_size=tile, n_res_blocks=4)
+    trainer = CVAETrainer(CVAE(arch, dtype=dtype), ds,
+                          config=TrainConfig(seed=0))
+
+    loader = BatchLoader(ds, batch_size=batch, seed=1, prefetch=3)
+    try:
+        t0 = time.time()
+        m = trainer.step(next(loader), lr=1e-3)
+        elbo = float(m["elbo"])
+        log(f"first step (compile): {time.time() - t0:.1f}s elbo={elbo:.4e}")
+        assert np.isfinite(elbo), "non-finite ELBO"
+        # warmup a couple of steady steps
+        for _ in range(3):
+            m = trainer.step(next(loader), lr=1e-3)
+        float(m["elbo"])
+
+        t0 = time.time()
+        for _ in range(n_steps):
+            m = trainer.step(next(loader), lr=1e-3)
+        elbo = float(m["elbo"])  # blocks on device
+        dt = time.time() - t0
+    finally:
+        loader.close()
+
+    assert np.isfinite(elbo), "non-finite ELBO after timed steps"
+    samples_per_sec = n_steps * batch / dt
+    log(f"steady: {dt / n_steps * 1000:.1f} ms/step -> "
+        f"{samples_per_sec:.1f} samples/s (elbo={elbo:.4e})")
+
+    print(json.dumps({
+        "metric": "cvae_train_samples_per_sec",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / 14.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

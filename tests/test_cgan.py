@@ -1,0 +1,118 @@
+"""CGAN tests: architecture shapes, spectral norm, adversarial step, painter."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset, load_file_info
+from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+from baryon_painter_tpu.models.cgan import (CGANDiscriminator, CGANGenerator,
+                                            z_feature)
+from baryon_painter_tpu.painter import CGANPainter, load_painter
+from baryon_painter_tpu.train.cgan import CGANTrainConfig, CGANTrainer
+from baryon_painter_tpu.transforms import RangeCompress
+
+TILE = 32
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stacks"))
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 1.0))
+    return BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+
+
+@pytest.fixture(scope="module")
+def trainer(dataset):
+    return CGANTrainer(dataset,
+                       generator=CGANGenerator(n_res_blocks=1),
+                       discriminator=CGANDiscriminator(),
+                       config=CGANTrainConfig(seed=0, batch_size=2))
+
+
+def test_z_feature():
+    np.testing.assert_allclose(np.asarray(z_feature(jnp.array([0.0, 2.0]))),
+                               [-1.0, 1.0])
+
+
+def test_generator_shapes():
+    g = CGANGenerator(n_res_blocks=1)
+    y = jnp.zeros((2, TILE, TILE, 1))
+    z = jnp.zeros((2,))
+    out, variables = g.init_with_output(jax.random.PRNGKey(0), y, z,
+                                        train=False)
+    assert out.shape == (2, TILE, TILE, 1)
+    # tanh output range
+    assert np.all(np.abs(np.asarray(out)) <= 1.0)
+    # spectral norm state exists
+    flat = jax.tree_util.tree_flatten_with_path(variables["batch_stats"])[0]
+    assert any("u" in "/".join(str(k) for k in path) or "sigma" in
+               "/".join(str(k) for k in path) for path, _ in flat)
+
+
+def test_discriminator_shapes():
+    d = CGANDiscriminator()
+    y = jnp.zeros((2, TILE, TILE, 1))
+    x = jnp.zeros((2, TILE, TILE, 1))
+    z = jnp.zeros((2,))
+    out, _ = d.init_with_output(jax.random.PRNGKey(0), y, z, x, train=False)
+    assert out.ndim == 4 and out.shape[0] == 2 and out.shape[-1] == 1
+    p = np.asarray(out)
+    assert np.all((p >= 0) & (p <= 1))  # sigmoid probabilities
+
+
+def test_gan_step_updates_both_nets(dataset, trainer):
+    tr = trainer
+    g0 = jax.tree.map(np.asarray, tr.state.g_params)
+    d0 = jax.tree.map(np.asarray, tr.state.d_params)
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    for key in ("loss_D", "loss_G_adv", "loss_G_perceptual"):
+        assert np.isfinite(float(m[key])), key
+    assert 0 <= float(m["D_real"]) <= 1 and 0 <= float(m["D_fake"]) <= 1
+    gd = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_params, g0)))
+    dd = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.d_params, d0)))
+    assert gd > 0 and dd > 0
+
+
+def test_gan_checkpoint_and_painter(dataset, trainer, tmp_path):
+    tr = trainer
+    tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    base = str(tmp_path / "gan")
+    tr.save(base)
+
+    p = CGANPainter(base)
+    tile = dataset.get_input_sample(3, transform=False)
+    out = p.paint(tile, z=1.0)
+    assert out.shape == (TILE, TILE)
+    assert np.all(np.isfinite(out))
+    # painting is deterministic for the CGAN (no latent sampling)
+    out2 = p.paint(tile, z=1.0)
+    np.testing.assert_allclose(out, out2)
+    # dispatcher picks the right painter class
+    p2 = load_painter(base)
+    assert isinstance(p2, CGANPainter)
+    # resume path
+    tr2 = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                      discriminator=CGANDiscriminator(),
+                      config=CGANTrainConfig(seed=1, batch_size=2))
+    meta = tr2.restore(base)
+    assert meta["model_kind"] == "cgan"
+    eq = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                      tr.state.g_params, tr2.state.g_params)
+    assert all(jax.tree.leaves(eq))
+
+
+def test_gan_from_trainer_painter(dataset, trainer):
+    p = CGANPainter.from_trainer(trainer)
+    tiles = np.stack([dataset.get_input_sample(i, transform=False)
+                      for i in range(2)])
+    out = np.asarray(p.paint_batch(tiles, np.array([0.0, 1.0], np.float32)))
+    assert out.shape == (2, TILE, TILE)
