@@ -56,13 +56,19 @@ def blend_tiles(tiles, weights, origins, plane_size: int):
     return plane, wplane
 
 
-def _extract_tiles(plane: np.ndarray, origins_frac, tile_relative_size):
-    """Gather all (periodic) tiles at native plane resolution."""
-    tiles = []
-    for x in origins_frac:
-        for y in origins_frac:
-            tiles.append(get_tile(plane, (x, y), tile_relative_size))
-    return np.stack(tiles)
+def _extract_tiles_device(plane, origins_frac, tile_relative_size):
+    """Gather all (periodic) tiles at native resolution, on device.
+
+    plane: (n, n) jnp array; returns (n_tiles^2, n_nat, n_nat)."""
+    n = plane.shape[0]
+    n_nat = int(n * tile_relative_size)
+    origin_px = (np.asarray(origins_frac) * n).astype(np.int64)
+    rows = (origin_px[:, None] + np.arange(n_nat)[None, :]) % n  # (m, n_nat)
+    rows = jnp.asarray(rows)
+    m = len(origin_px)
+    # (m, m, n_nat, n_nat) via advanced indexing, then flatten tile grid
+    tiles = plane[rows[:, None, :, None], rows[None, :, None, :]]
+    return tiles.reshape(m * m, n_nat, n_nat)
 
 
 def paint_plane(painter, delta: np.ndarray, z_slice: float,
@@ -84,47 +90,54 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
                                  min_tile_overlap)
     origin_px = tile_origin_pixels(origins, n_pixel_plane)
 
-    raw_tiles = _extract_tiles(delta, origins, tile_size / delta_size)
+    # Everything below stays on device until the final blended plane:
+    # gather -> B-spline zoom -> batched paint -> weight/regularise -> blend.
+    delta_dev = jnp.asarray(delta, jnp.float32)
+    raw_tiles = _extract_tiles_device(delta_dev, origins,
+                                      tile_size / delta_size)
     n_tiles = raw_tiles.shape[0]
 
     # batched resample native -> model resolution (reference zooms per tile
     # with scipy order 3 'reflect': process_SLICS.py:205)
-    tiles = np.asarray(resize_spline(jnp.asarray(raw_tiles),
-                                     (n_pixel_tile, n_pixel_tile),
-                                     order=zoom_order, mode="reflect"))
+    tiles = resize_spline(raw_tiles, (n_pixel_tile, n_pixel_tile),
+                          order=zoom_order, mode="reflect")
 
-    painted = np.empty_like(tiles)
+    chunks = []
     for lo in range(0, n_tiles, paint_batch_size):
         hi = min(lo + paint_batch_size, n_tiles)
         chunk = tiles[lo:hi]
         # pad the last chunk so every call hits the same compiled graph
         pad = paint_batch_size - (hi - lo)
         if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        zs = np.full(chunk.shape[0], z_slice, np.float32)
-        out = np.asarray(painter.paint_batch(chunk, zs))
-        painted[lo:hi] = out[: hi - lo]
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
+        zs = jnp.full(chunk.shape[0], z_slice, jnp.float32)
+        chunks.append(painter.paint_batch(chunk, zs)[: hi - lo])
+    painted = jnp.concatenate(chunks, axis=0)
 
-    w = make_weight_map((n_pixel_tile, n_pixel_tile), falloff=falloff,
-                        sigma=sigma).astype(np.float32)
-    weights = np.broadcast_to(w, painted.shape).copy()
+    w = jnp.asarray(make_weight_map((n_pixel_tile, n_pixel_tile),
+                                    falloff=falloff, sigma=sigma),
+                    jnp.float32)
+    weights = jnp.broadcast_to(w, painted.shape)
 
     problematic = []
     if regularise_std is not None:
         mean = painted.mean(axis=(1, 2), keepdims=True)
         std = painted.std(axis=(1, 2), keepdims=True)
-        outlier = np.abs(painted - mean) > std * regularise_std
-        bad = outlier.any(axis=(1, 2))
+        outlier = jnp.abs(painted - mean) > std * regularise_std
         if collect_problematic:
+            bad = np.asarray(outlier.any(axis=(1, 2)))
+            tiles_h = np.asarray(tiles)
+            painted_h = np.asarray(painted)
             for i in np.nonzero(bad)[0]:
-                problematic.append((z_slice, tiles[i], painted[i]))
+                problematic.append((z_slice, tiles_h[i], painted_h[i]))
         if regularise:
-            weights[outlier] = 0.0
+            weights = jnp.where(outlier, 0.0, weights)
 
     grid = np.array([(x, y) for x in origin_px for y in origin_px],
                     dtype=np.int32)
-    plane, wplane = blend_tiles(jnp.asarray(painted), jnp.asarray(weights),
-                                jnp.asarray(grid), n_pixel_plane)
+    plane, wplane = blend_tiles(painted, weights, jnp.asarray(grid),
+                                n_pixel_plane)
     result = np.asarray(plane / wplane)
     if collect_problematic:
         return result, problematic
@@ -146,14 +159,13 @@ def paint_plane_from_massplane(painter, massplane: np.ndarray,
                     expansion_factor=tile_size / delta_size)
     if subtract_minimum:
         tile = tile - tile.min()
-    tile = np.asarray(resize_spline(jnp.asarray(tile[None]),
-                                    (n_pixel_tile, n_pixel_tile),
-                                    order=zoom_order, mode="mirror"))[0]
-    painted = np.asarray(painter.paint_batch(
-        tile[None], np.full(1, z_slice, np.float32)))[0]
+    tile = resize_spline(jnp.asarray(tile[None], jnp.float32),
+                         (n_pixel_tile, n_pixel_tile),
+                         order=zoom_order, mode="mirror")
+    painted = painter.paint_batch(tile, jnp.full(1, z_slice, jnp.float32))[0]
     frac = delta_size / tile_size
-    return get_tile(painted, ((1 - frac) / 2, (1 - frac) / 2),
-                    tile_relative_size=frac)
+    return np.asarray(get_tile(painted, ((1 - frac) / 2, (1 - frac) / 2),
+                               tile_relative_size=frac))
 
 
 def process_slics(painter, tile_size: float, n_pixel_tile: int,

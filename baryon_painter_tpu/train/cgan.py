@@ -102,6 +102,7 @@ class CGANTrainer:
             d_stats=d_vars.get("batch_stats", {}),
             d_opt=self.optimizer.init(d_vars["params"]),
             step=jnp.zeros((), jnp.int32))
+        self._host_step = 0  # avoids device syncs when folding the rng
 
         self._stats = {f: ds.stats[f] for f in ds.fields}
         self._transforms = {f: ds.transforms[f] for f in ds.fields}
@@ -198,7 +199,8 @@ class CGANTrainer:
                 jnp.asarray(batch["z"])]
         if self._data_sharding is not None:
             arrs = [jax.device_put(a, self._data_sharding) for a in arrs]
-        rng = jax.random.fold_in(self._rng, int(self.state.step))
+        rng = jax.random.fold_in(self._rng, self._host_step)
+        self._host_step += 1
         self.state, metrics = self._train_step(self.state, *arrs, rng,
                                                jnp.float32(lr))
         return metrics
@@ -287,4 +289,5 @@ class CGANTrainer:
             d_params=state["d_params"], d_stats=state["d_stats"],
             d_opt=state.get("d_opt", self.state.d_opt),
             step=jnp.asarray(state["step"]))
+        self._host_step = int(state["step"])
         return meta

@@ -59,6 +59,7 @@ class TrainConfig:
     validation_loss_batch_size: int = 16
     checkpoint_frequency: int = 1000           # in samples
     statistics_report_frequency: int = 50      # in samples; 0 = off
+    stats_sync_every: int = 16                 # steps between device syncs
     mavg_window_size: int = 20
     output_path: Optional[str] = None
     seed: int = 0
@@ -71,7 +72,11 @@ class CVAETrainer:
     def __init__(self, model: CVAE, training_data: BahamasTileDataset,
                  test_data: Optional[BahamasTileDataset] = None,
                  config: TrainConfig = TrainConfig(),
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 device_data: bool = False):
+        """``device_data=True`` uploads the stacks to HBM once and assembles
+        samples inside the jit step (see data/device_cache.py) - the per-step
+        host->device transfer drops from ~4 MB/sample to ~25 bytes/sample."""
         self.model = model
         self.training_data = training_data
         self.test_data = test_data
@@ -97,6 +102,10 @@ class CVAETrainer:
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.optimizer.init(variables["params"]),
             step=jnp.zeros((), jnp.int32))
+        # host-side mirror of state.step: reading the device scalar would
+        # force a device sync on every dispatch (fatal over a network-attached
+        # chip), so the RNG folding uses this counter instead
+        self._host_step = 0
 
         # capture transform specs + stats tables as jit constants
         self._stats = {f: ds.stats[f] for f in ds.fields}
@@ -114,6 +123,15 @@ class CVAETrainer:
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+
+        self.device_cache = None
+        if device_data:
+            from baryon_painter_tpu.data.device_cache import DeviceStackCache
+            self.device_cache = DeviceStackCache(training_data)
+            self._train_step_digits = jax.jit(self._train_step_digits_impl,
+                                              donate_argnums=(0,))
+            self._train_scan = jax.jit(self._train_scan_impl,
+                                       donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
 
@@ -163,6 +181,30 @@ class CVAETrainer:
                    if k not in ("x_mu", "x_var")}
         return new_state, metrics
 
+    def _train_step_digits_impl(self, state: TrainState, digits, rng, lr,
+                                alpha_var, beta_KL):
+        raw_input, raw_labels, z = self.device_cache.gather(digits)
+        return self._train_step_impl(state, raw_input, raw_labels, z, rng,
+                                     lr, alpha_var, beta_KL)
+
+    def _train_scan_impl(self, state: TrainState, digits_k, base_rng, lr_k,
+                         alpha_k, beta_k):
+        """K fused training steps in ONE device dispatch via lax.scan.
+
+        Eliminates per-step host->device dispatch latency entirely (the
+        dominant cost on a network-attached chip). digits_k: (K, B, 9);
+        lr/alpha/beta: (K,) traced schedules.
+        """
+        def body(st, inp):
+            digits, step_i, lr, a, b = inp
+            rng = jax.random.fold_in(base_rng, step_i)
+            st, metrics = self._train_step_digits_impl(st, digits, rng, lr,
+                                                       a, b)
+            return st, metrics
+
+        return jax.lax.scan(body, state,
+                            (digits_k[0], digits_k[1], lr_k, alpha_k, beta_k))
+
     def _eval_step_impl(self, state: TrainState, raw_input, raw_labels, z,
                         rng, alpha_var, beta_KL):
         # Loss parity with the reference's validate(compute_loss=True)
@@ -186,10 +228,55 @@ class CVAETrainer:
              alpha_var: float = 1.0, beta_KL: float = 1.0):
         """Run one fused training step on a raw host batch."""
         raw_input, raw_labels, z = self._put_batch(batch)
-        step_rng = jax.random.fold_in(self._rng, int(self.state.step))
+        step_rng = jax.random.fold_in(self._rng, self._host_step)
+        self._host_step += 1
         self.state, metrics = self._train_step(
             self.state, raw_input, raw_labels, z, step_rng,
             jnp.float32(lr), jnp.float32(alpha_var), jnp.float32(beta_KL))
+        return metrics
+
+    def step_indices(self, idx: np.ndarray, lr: float,
+                     alpha_var: float = 1.0, beta_KL: float = 1.0):
+        """Training step by sample index, assembling the batch ON DEVICE
+        from the HBM-resident stack cache (device_data=True required)."""
+        if self.device_cache is None:
+            raise RuntimeError("Construct the trainer with device_data=True "
+                               "to use step_indices.")
+        digits = self.device_cache.digits(idx)
+        if self._data_sharding is not None:
+            digits = jax.device_put(digits, self._data_sharding)
+        step_rng = jax.random.fold_in(self._rng, self._host_step)
+        self._host_step += 1
+        self.state, metrics = self._train_step_digits(
+            self.state, digits, step_rng, jnp.float32(lr),
+            jnp.float32(alpha_var), jnp.float32(beta_KL))
+        return metrics
+
+    def step_scan(self, idx_matrix: np.ndarray, lr, alpha_var=1.0,
+                  beta_KL=1.0):
+        """Run K fused steps (one dispatch): idx_matrix is (K, B) sample
+        indices; lr/alpha_var/beta_KL may be scalars or (K,) schedules.
+        Returns stacked per-step metrics (device arrays)."""
+        if self.device_cache is None:
+            raise RuntimeError("Construct the trainer with device_data=True "
+                               "to use step_scan.")
+        k = idx_matrix.shape[0]
+        digits = np.stack([self.device_cache.digits(row)
+                           for row in idx_matrix])
+        if self._data_sharding is not None:
+            spec = NamedSharding(self.mesh, P(None, "data"))
+            digits = jax.device_put(digits, spec)
+
+        def sched(v):
+            arr = np.broadcast_to(np.asarray(v, np.float32), (k,))
+            return jnp.asarray(arr)
+
+        steps = jnp.arange(self._host_step, self._host_step + k)
+        self._host_step += k
+        # rng folding matches k sequential step_indices calls exactly
+        self.state, metrics = self._train_scan(
+            self.state, (jnp.asarray(digits), steps), self._rng, sched(lr),
+            sched(alpha_var), sched(beta_KL))
         return metrics
 
     def eval_loss(self, batch, alpha_var=1.0, beta_KL=1.0, seed=0):
@@ -197,6 +284,16 @@ class CVAETrainer:
         return self._eval_step(self.state, raw_input, raw_labels, z,
                                jax.random.PRNGKey(seed), jnp.float32(alpha_var),
                                jnp.float32(beta_KL))
+
+    def _flush_stats(self, pending, training_stats):
+        """Convert buffered device metrics to host floats in one sync."""
+        if not pending:
+            return
+        host = jax.device_get([m for _, m, _, _ in pending])
+        for (n_samples, _, lr, bs), metrics in zip(pending, host):
+            training_stats.push_loss(n_samples, *self.stats_tuple(metrics),
+                                     lr, bs)
+        pending.clear()
 
     def stats_tuple(self, metrics) -> tuple:
         vals = [float(metrics["elbo"]), -float(metrics["kl"])]
@@ -250,6 +347,7 @@ class CVAETrainer:
         last_ckpt = 0
         last_report = 0
         t0 = time.time()
+        pending = []
 
         while i_pepoch < cfg.n_pepoch:
             # ---- pepoch boundary -------------------------------------- #
@@ -269,17 +367,50 @@ class CVAETrainer:
                 if i_pepoch in validation_pepochs and on_validation:
                     on_validation(self, i_pepoch)
 
-            idx = ds.sample_indices(data_rng, batch_size)
-            batch = ds.get_raw_batch(idx)
-            metrics = self.step(batch, lr=cfg.learning_rate * lr_mult,
-                                alpha_var=alpha_var, beta_KL=beta_KL)
-            n_samples += batch_size
+            lr = cfg.learning_rate * lr_mult
+            if self.device_cache is not None:
+                # Fuse steps up to the next sample-count boundary (pepoch /
+                # validation / checkpoint / report) into ONE scan dispatch.
+                horizons = [last_pepoch_samples + cfg.pepoch_size]
+                if self.test_data is not None:
+                    horizons.append(last_val_loss + cfg.validation_loss_frequency)
+                if ckpt_template is not None:
+                    horizons.append(last_ckpt + cfg.checkpoint_frequency)
+                if cfg.statistics_report_frequency > 0:
+                    horizons.append(last_report + cfg.statistics_report_frequency)
+                until = max(min(horizons) - n_samples, 1)
+                k = min(max(1, cfg.stats_sync_every),
+                        -(-until // batch_size))
+                # round down to a power of two: bounds the number of distinct
+                # compiled scan lengths to log2(stats_sync_every)+1
+                k = 1 << (k.bit_length() - 1)
+                idx_matrix = np.stack(
+                    [ds.sample_indices(data_rng, batch_size)
+                     for _ in range(k)])
+                metrics_k = self.step_scan(idx_matrix, lr=lr,
+                                           alpha_var=alpha_var,
+                                           beta_KL=beta_KL)
+                for i in range(k):
+                    n_samples += batch_size
+                    pending.append(
+                        (n_samples,
+                         jax.tree.map(lambda a, i=i: a[i], metrics_k),
+                         lr, batch_size))
+            else:
+                idx = ds.sample_indices(data_rng, batch_size)
+                metrics = self.step(ds.get_raw_batch(idx), lr=lr,
+                                    alpha_var=alpha_var, beta_KL=beta_KL)
+                n_samples += batch_size
+                pending.append((n_samples, metrics, lr, batch_size))
 
-            training_stats.push_loss(n_samples, *self.stats_tuple(metrics),
-                                     cfg.learning_rate * lr_mult, batch_size)
+            # Buffer metrics on-device; sync in batches so the step loop is
+            # not throttled by per-step device round trips.
+            if len(pending) >= max(1, cfg.stats_sync_every):
+                self._flush_stats(pending, training_stats)
 
             if (self.test_data is not None
                     and n_samples - cfg.validation_loss_frequency >= last_val_loss):
+                self._flush_stats(pending, training_stats)
                 last_val_loss = n_samples
                 vidx = self.test_data.sample_indices(
                     data_rng, cfg.validation_loss_batch_size)
@@ -297,6 +428,7 @@ class CVAETrainer:
             if (cfg.statistics_report_frequency > 0
                     and n_samples - cfg.statistics_report_frequency >= last_report):
                 last_report = n_samples
+                self._flush_stats(pending, training_stats)
                 if cfg.verbose:
                     elbo = training_stats.loss_terms["ELBO"]["mavg"][-1]
                     rate = n_samples / (time.time() - t0)
@@ -304,6 +436,7 @@ class CVAETrainer:
                           f"samples {n_samples} ELBO(mavg) {elbo:.3e} "
                           f"({rate:.1f} samples/s)")
 
+        self._flush_stats(pending, training_stats)
         training_stats.flush_to_file()
         validation_stats.flush_to_file()
         if out_path is not None:
@@ -333,4 +466,5 @@ class CVAETrainer:
                                 opt_state=state.get("opt_state",
                                                     self.state.opt_state),
                                 step=jnp.asarray(state["step"]))
+        self._host_step = int(state["step"])
         return meta

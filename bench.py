@@ -30,7 +30,7 @@ def log(*a):
 def main():
     import jax
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
-                                                 BatchLoader, load_file_info)
+                                                 load_file_info)
     from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
     from baryon_painter_tpu.models.cvae import (CVAE,
                                                 fiducial_cvae_architecture)
@@ -39,7 +39,7 @@ def main():
 
     tile = int(os.environ.get("BPT_BENCH_TILE", "512"))
     batch = int(os.environ.get("BPT_BENCH_BATCH", "24"))
-    n_steps = int(os.environ.get("BPT_BENCH_STEPS", "20"))
+    n_steps = int(os.environ.get("BPT_BENCH_STEPS", "100"))
     dtype_name = os.environ.get("BPT_BENCH_DTYPE", "bfloat16")
     dtype = {"bfloat16": jax.numpy.bfloat16,
              "float32": jax.numpy.float32}[dtype_name]
@@ -58,28 +58,35 @@ def main():
     assert ds.tile_size == tile
 
     arch = fiducial_cvae_architecture(tile_size=tile, n_res_blocks=4)
+    # Device-resident data path: stacks live in HBM, samples are assembled
+    # inside the jit step; the host only ships (B, 9) int32 index digits.
     trainer = CVAETrainer(CVAE(arch, dtype=dtype), ds,
-                          config=TrainConfig(seed=0))
+                          config=TrainConfig(seed=0), device_data=True)
+    log(f"device stack cache: "
+        f"{trainer.device_cache.nbytes(ds) / 1e6:.0f} MB in HBM")
 
-    loader = BatchLoader(ds, batch_size=batch, seed=1, prefetch=3)
-    try:
-        t0 = time.time()
-        m = trainer.step(next(loader), lr=1e-3)
-        elbo = float(m["elbo"])
-        log(f"first step (compile): {time.time() - t0:.1f}s elbo={elbo:.4e}")
-        assert np.isfinite(elbo), "non-finite ELBO"
-        # warmup a couple of steady steps
-        for _ in range(3):
-            m = trainer.step(next(loader), lr=1e-3)
-        float(m["elbo"])
+    rng = np.random.default_rng(1)
+    scan_k = int(os.environ.get("BPT_BENCH_SCAN", "25"))
 
-        t0 = time.time()
-        for _ in range(n_steps):
-            m = trainer.step(next(loader), lr=1e-3)
-        elbo = float(m["elbo"])  # blocks on device
-        dt = time.time() - t0
-    finally:
-        loader.close()
+    def idx_matrix(k):
+        return np.stack([ds.sample_indices(rng, batch) for _ in range(k)])
+
+    t0 = time.time()
+    m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
+    elbo = float(m["elbo"][-1])
+    log(f"first scan ({scan_k} steps, compile): {time.time() - t0:.1f}s "
+        f"elbo={elbo:.4e}")
+    assert np.isfinite(elbo), "non-finite ELBO"
+    m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)  # warmup
+    float(m["elbo"][-1])
+
+    t0 = time.time()
+    n_scans = max(1, n_steps // scan_k)
+    for _ in range(n_scans):
+        m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
+    elbo = float(m["elbo"][-1])  # blocks on the whole chain
+    dt = time.time() - t0
+    n_steps = n_scans * scan_k
 
     assert np.isfinite(elbo), "non-finite ELBO after timed steps"
     samples_per_sec = n_steps * batch / dt

@@ -1,0 +1,90 @@
+"""Device stack cache: on-device assembly must equal the host path."""
+import jax
+import numpy as np
+import pytest
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset, load_file_info
+from baryon_painter_tpu.data.device_cache import DeviceStackCache
+from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+from baryon_painter_tpu.models.cvae import CVAE, fiducial_cvae_architecture
+from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+from baryon_painter_tpu.transforms import RangeCompress
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stacks"))
+    info = make_synthetic_stacks(root, n_stack=3, n_grid=64,
+                                 redshifts=(0.0, 0.5, 1.0))
+    return BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        tile_permutations=True, n_stack=2, stack_offset=1,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+
+
+def test_gather_matches_host_path(dataset):
+    cache = DeviceStackCache(dataset)
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(dataset), size=16, replace=False)
+    digits = cache.digits(idx)
+    inputs, labels, zs = jax.jit(cache.gather)(digits)
+    host = dataset.get_raw_batch(idx)
+    np.testing.assert_allclose(np.asarray(inputs), host["input"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(labels), host["labels"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(zs), host["z"])
+
+
+def test_fits_estimate(dataset):
+    nbytes = DeviceStackCache.nbytes(dataset)
+    # 2 fields * 3 z * (3+3 stacks) * 64^2 * 4
+    assert nbytes == 2 * 3 * 6 * 64 * 64 * 4
+    assert DeviceStackCache.fits(dataset)
+    assert not DeviceStackCache.fits(dataset, budget_bytes=nbytes - 1)
+
+
+def test_trainer_step_indices_matches_step(dataset):
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    idx = np.arange(4)
+    tr1 = CVAETrainer(CVAE(arch), dataset, config=TrainConfig(seed=0),
+                      device_data=True)
+    m1 = tr1.step_indices(idx, lr=1e-3)
+    tr2 = CVAETrainer(CVAE(arch), dataset, config=TrainConfig(seed=0))
+    m2 = tr2.step(dataset.get_raw_batch(idx), lr=1e-3)
+    np.testing.assert_allclose(float(m1["elbo"]), float(m2["elbo"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["kl"]), float(m2["kl"]), rtol=1e-4,
+                               atol=1e-7)
+    with pytest.raises(RuntimeError):
+        tr2.step_indices(idx, lr=1e-3)
+
+
+def test_step_scan_matches_sequential(dataset):
+    """K fused scan steps must reproduce K sequential steps exactly
+    (same rng folding, same data, same schedules)."""
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    idx_matrix = np.arange(12).reshape(3, 4)
+
+    tr_seq = CVAETrainer(CVAE(arch), dataset, config=TrainConfig(seed=0),
+                         device_data=True)
+    last = None
+    for row in idx_matrix:
+        last = tr_seq.step_indices(row, lr=1e-3)
+
+    tr_scan = CVAETrainer(CVAE(arch), dataset, config=TrainConfig(seed=0),
+                          device_data=True)
+    metrics = tr_scan.step_scan(idx_matrix, lr=1e-3)
+    assert metrics["elbo"].shape == (3,)
+    np.testing.assert_allclose(float(metrics["elbo"][-1]),
+                               float(last["elbo"]), rtol=1e-5)
+    # adam's first-step updates are ~sign(g): elements with g~0 flip under
+    # scan-vs-unrolled float noise (bounded by 2*lr per step)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_seq.state.params)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_scan.state.params)])
+    assert np.max(np.abs(a - b)) < 3 * 2.5e-3
+    assert np.mean(np.abs(a - b) > 1e-5) < 0.02
+    with pytest.raises(RuntimeError):
+        CVAETrainer(CVAE(arch), dataset,
+                    config=TrainConfig(seed=0)).step_scan(idx_matrix, 1e-3)
