@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""End-to-end lightcone benchmark: paint a full synthetic SLICS LOS.
+
+Generates one LOS worth of synthetic SLICS files at REAL sizes (15 shells,
+7745^2 delta planes, 4096*3 massplanes), paints all shells with the fiducial
+512^2 CVAE through the production pipeline (process_slics), assembles the
+Compton-y map, and reports wall times. The second pass re-runs the painted
+pipeline with all graphs compiled - the steady-state per-LOS number that the
+SLURM/multi-host fleet sees (the reference budget: <= 2 days per LOS on CPU,
+target < 60 s on TPU).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+WORKDIR = os.environ.get("BPT_LC_DIR", "/tmp/bpt_lightcone_bench")
+N_SHELLS = int(os.environ.get("BPT_LC_SHELLS", "15"))
+
+Z_SLICS = [0.042, 0.130, 0.221, 0.317, 0.418, 0.525, 0.640, 0.764, 0.897,
+           1.041, 1.199, 1.372, 1.562, 1.772, 2.007][:N_SHELLS]
+
+
+def generate_los(base, los=74, seed=0):
+    rng = np.random.default_rng(seed)
+    for sub in ("delta", "massplanes", "random_shifts"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    np.savetxt(os.path.join(base, "random_shifts", f"random_shift_LOS{los}"),
+               rng.uniform(0, 1, size=(len(Z_SLICS), 2)))
+    for i, z in enumerate(Z_SLICS):
+        if i < 1:  # low-z shells use massplanes
+            fn = os.path.join(base, "massplanes",
+                              f"{z:.3f}proj_half_finer_{['xy','xz','yz'][i%3]}.dat_LOS{los}")
+            if not os.path.exists(fn):
+                d = rng.gamma(2.0, 48.0, size=4096 * 3 * 4096 * 3 + 1)
+                d.astype(np.float32).tofile(fn)
+        fn = os.path.join(base, "delta", f"{z:.3f}delta.dat_bicubic_LOS{los}")
+        if not os.path.exists(fn):
+            d = rng.gamma(2.0, 48.0, size=7745 * 7745) - 96.0
+            d.astype(np.float32).tofile(fn)
+        print(f"shell {i} z={z} files ready", flush=True)
+
+
+def main():
+    import jax
+    from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.lightcone import create_y_map, process_slics
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.painter import CVAEPainter
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    print("devices:", jax.devices(), flush=True)
+    los = 74
+    t0 = time.time()
+    generate_los(WORKDIR, los)
+    print(f"LOS files generated/present in {time.time()-t0:.0f}s", flush=True)
+
+    # fiducial 512-tile painter (untrained weights: timing only)
+    stacks = os.path.join(WORKDIR, "stacks")
+    info = make_synthetic_stacks(stacks, n_stack=2, n_grid=1024,
+                                 redshifts=(0.0, 1.0, 2.0), seed=0)
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=stacks, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
+                    "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)})
+    trainer = CVAETrainer(CVAE(fiducial_cvae_architecture(512),
+                               dtype=jax.numpy.bfloat16), ds,
+                          config=TrainConfig(seed=0))
+    painter = CVAEPainter.from_trainer(trainer)
+
+    cosmo = SLICS_COSMOLOGY()
+    z_arr = np.asarray(Z_SLICS)
+    d_A = cosmo.comoving_angular_distance(z_arr) * cosmo.h
+    delta_size = d_A * 10 / 180 * np.pi
+    z_slice = np.array([cosmo.redshift_of_chi(252.5 / cosmo.h * i)
+                        for i in range(len(z_arr))])
+
+    def run():
+        planes = process_slics(
+            painter, tile_size=100.0, n_pixel_tile=512, LOS=los,
+            z_SLICS=z_arr, delta_size=delta_size,
+            delta_path=os.path.join(WORKDIR, "delta"),
+            massplane_path=os.path.join(WORKDIR, "massplanes"),
+            shifts_path=os.path.join(WORKDIR, "random_shifts"),
+            z_slice=z_slice, min_tiling_overlap=0.2, verbose=True,
+            paint_batch_size=16)
+        y = create_y_map(planes, z_arr, resolution=1549, map_size=10.0,
+                         cosmo=cosmo, order=3)
+        return planes, y
+
+    t0 = time.time()
+    planes, y = run()
+    t_first = time.time() - t0
+    print(f"first LOS (with compiles): {t_first:.1f}s; "
+          f"y-map {y.shape} finite={np.all(np.isfinite(y))}", flush=True)
+
+    t0 = time.time()
+    planes, y = run()
+    t_steady = time.time() - t0
+    print(f"steady LOS: {t_steady:.1f}s "
+          f"({'PASS' if t_steady < 60 else 'MISS'} vs <60s target "
+          f"[target is for v5e-8; this is 1 chip])", flush=True)
+
+
+if __name__ == "__main__":
+    main()
