@@ -230,6 +230,29 @@ class BahamasTileDataset:
     def inverse_transform(self, x, field, z):
         return self.transforms[field].inverse(x, self.stats[field], z)
 
+    def create_transform(self, field, z):
+        """Callable f(x) bound to (field, z) — reference datasets.py:206-209
+        without the closure pickling."""
+        return lambda x: self.transform(x, field, z)
+
+    def create_inverse_transform(self, field, z):
+        return lambda x: self.inverse_transform(x, field, z)
+
+    def get_transforms(self, idx=None, z=None):
+        """Per-field transform callables for a sample (datasets.py:216-243)."""
+        if idx is None and z is None:
+            raise ValueError("Either idx or z have to be specified.")
+        if z is None:
+            z = self.sample_idx_to_redshift(idx)
+        return [self.create_transform(f, z) for f in self.fields]
+
+    def get_inverse_transforms(self, idx=None, z=None):
+        if idx is None and z is None:
+            raise ValueError("Either idx or z have to be specified.")
+        if z is None:
+            z = self.sample_idx_to_redshift(idx)
+        return [self.create_inverse_transform(f, z) for f in self.fields]
+
     # ------------------------------------------------------------------ #
     # Batch assembly (host side, raw tiles; transform runs on device)
     # ------------------------------------------------------------------ #

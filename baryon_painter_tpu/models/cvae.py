@@ -220,6 +220,32 @@ class CVAE(nn.Module):
         return labels
 
 
+def count_parameters(params) -> int:
+    """Total trainable parameter count (cvae.py:182-183 equivalent)."""
+    import jax
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def print_model_statistics(params, percentile: float = 0.9):
+    """Parameter-count distribution report (cvae.py:185-194 equivalent)."""
+    import flax
+    import jax
+    flat = flax.traverse_util.flatten_dict(params)
+    sizes = sorted(((int(np.prod(p.shape)), "/".join(k))
+                    for k, p in flat.items()), reverse=True)
+    total = sum(n for n, _ in sizes)
+    print(f"Total number of parameters: {total}")
+    print(f"Top {percentile * 100:.0f}% of all parameters are in the "
+          f"following layers")
+    cum = 0
+    for n, name in sizes:
+        if cum >= total * percentile:
+            break
+        cum += n
+        print(f"{name:<60s} {n:>10d}")
+    return total
+
+
 def stats_from_outputs(out: dict) -> tuple:
     """Flatten a CVAE output dict to the reference stats tuple order
     (cvae.py:164-171): (ELBO, -KL, *ll[, *ll_fixed, *ll_free])."""

@@ -82,7 +82,8 @@ class CVAEPainter(Painter):
             y = tiles
             if transform:
                 y = in_tf.forward(y, in_stats, zs)
-            y = y[..., None]  # NHWC
+            # single-channel -> NHWC; split-scale transforms emit (N,C,H,W)
+            y = y[..., None] if y.ndim == 3 else jnp.moveaxis(y, -3, -1)
             res = self.model.apply(variables, y, zs, train=False,
                                    return_var=return_var,
                                    rngs={"sample": rng},
@@ -91,7 +92,10 @@ class CVAEPainter(Painter):
                 pred, var = res
             else:
                 pred, var = res, None
-            pred = pred[..., 0]
+            if pred.shape[-1] == 1:
+                pred = pred[..., 0]
+            else:
+                pred = jnp.moveaxis(pred, -1, -3)  # back to (N, C, H, W)
             if inverse_transform:
                 pred = out_tf.inverse(pred, out_stats, zs)
             return (pred, var[..., 0]) if return_var else pred

@@ -85,11 +85,24 @@ class CVAETrainer:
 
         ds = training_data
         t = ds.tile_size
-        n_labels = len(ds.label_fields)
         self._rng = jax.random.PRNGKey(config.seed)
         self._rng, init_rng, sample_rng = jax.random.split(self._rng, 3)
-        x0 = jnp.zeros((1, t, t, n_labels), jnp.float32)
-        y0 = jnp.zeros((1, t, t, 1), jnp.float32)
+
+        # capture transform specs + stats tables as jit constants (needed by
+        # _prepare below, which also determines the post-transform channel
+        # counts, e.g. n_scale channels for split-scale transforms)
+        self._stats = {f: ds.stats[f] for f in ds.fields}
+        self._transforms = {f: ds.transforms[f] for f in ds.fields}
+        self._input_field = ds.input_field
+        self._label_fields = list(ds.label_fields)
+
+        x0, y0 = jax.eval_shape(
+            self._prepare,
+            jnp.zeros((1, t, t), jnp.float32),
+            jnp.zeros((len(ds.label_fields), 1, t, t), jnp.float32),
+            jnp.zeros((1,), jnp.float32))
+        x0 = jnp.zeros(x0.shape, x0.dtype)
+        y0 = jnp.zeros(y0.shape, y0.dtype)
         aux0 = jnp.zeros((1,), jnp.float32)
         variables = model.init({"params": init_rng, "sample": sample_rng},
                                x0, y0, aux0)
@@ -106,12 +119,6 @@ class CVAETrainer:
         # force a device sync on every dispatch (fatal over a network-attached
         # chip), so the RNG folding uses this counter instead
         self._host_step = 0
-
-        # capture transform specs + stats tables as jit constants
-        self._stats = {f: ds.stats[f] for f in ds.fields}
-        self._transforms = {f: ds.transforms[f] for f in ds.fields}
-        self._input_field = ds.input_field
-        self._label_fields = list(ds.label_fields)
 
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data"))
@@ -444,6 +451,69 @@ class CVAETrainer:
         return training_stats, validation_stats
 
     # ------------------------------------------------------------------ #
+
+    def validate(self, validation_batch_size: int = 8,
+                 validation_redshift: Optional[float] = None,
+                 compute_loss: bool = False,
+                 plot_sample_var: bool = False,
+                 plot_power_spectra: Sequence[str] = ("auto",),
+                 plot_histogram: Sequence[str] = ("log",),
+                 save_plots: bool = False,
+                 filename_template: str = "{plot_type}.png",
+                 seed: int = 0):
+        """Diagnostics on a test batch; mirrors painter.py:295-367.
+
+        With compute_loss=True returns the reference stats tuple; otherwise
+        paints the batch with the prior and produces sample / P(k) /
+        histogram figures (returned as a dict; saved when save_plots)."""
+        if self.test_data is None:
+            raise RuntimeError("Trying to validate but no test data specified.")
+        from baryon_painter_tpu.utils import validation_plotting as vp
+
+        ds = self.test_data
+        rng = np.random.default_rng(seed)
+        idx = ds.sample_indices(rng, validation_batch_size,
+                                z=validation_redshift)
+        batch = ds.get_raw_batch(idx)
+        if compute_loss:
+            return self.stats_tuple(self.eval_loss(batch, seed=seed))
+
+        zs = batch["z"]
+        x, y = self._prepare(jnp.asarray(batch["input"]),
+                             jnp.asarray(batch["labels"]), jnp.asarray(zs))
+        pred = self.model.apply(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            y, jnp.asarray(zs), return_var=plot_sample_var, train=False,
+            rngs={"sample": jax.random.PRNGKey(seed)},
+            method=self.model.sample_P)
+        if plot_sample_var:
+            x_pred, x_var = pred
+        else:
+            x_pred, x_var = pred, None
+
+        to_nchw = lambda a: np.moveaxis(np.asarray(a), -1, 1)
+        x_nchw, y_nchw, p_nchw = to_nchw(x), to_nchw(y), to_nchw(x_pred)
+        inv = [ds.get_inverse_transforms(z=z) for z in zs]
+        figs = {}
+        figs["sample"], _ = vp.plot_samples(
+            x_nchw, p_nchw, y_nchw,
+            output_pred_var=to_nchw(x_var) if x_var is not None else None,
+            input_label=ds.input_field, output_labels=ds.label_fields)
+        for mode in plot_power_spectra or ():
+            figs[f"{mode}_power_spectrum"], _ = vp.plot_power_spectra(
+                x_nchw, p_nchw, y_nchw, L=ds.tile_L, mode=mode,
+                output_labels=ds.label_fields,
+                input_transform=[t[0] for t in inv],
+                output_transforms=[t[1:] for t in inv])
+        for mode in plot_histogram or ():
+            figs[f"{mode}_histogram"], _ = vp.plot_histogram(
+                x_nchw, p_nchw, labels=ds.label_fields,
+                y_logscale=mode == "log")
+        if save_plots:
+            for name, fig in figs.items():
+                fig.savefig(filename_template.format(plot_type=name))
+        return figs
 
     def save(self, base_path: str, include_opt_state: bool = True):
         state = {"params": self.state.params,

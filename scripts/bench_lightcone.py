@@ -31,7 +31,7 @@ def generate_los(base, los=74, seed=0):
     np.savetxt(os.path.join(base, "random_shifts", f"random_shift_LOS{los}"),
                rng.uniform(0, 1, size=(len(Z_SLICS), 2)))
     for i, z in enumerate(Z_SLICS):
-        if i < 1:  # low-z shells use massplanes
+        if i < 2:  # low-z shells (delta plane < 100 Mpc/h) use massplanes
             fn = os.path.join(base, "massplanes",
                               f"{z:.3f}proj_half_finer_{['xy','xz','yz'][i%3]}.dat_LOS{los}")
             if not os.path.exists(fn):

@@ -96,7 +96,19 @@ def main():
         verbose=args.verbose)
     trainer = CVAETrainer(CVAE(arch, dtype=dtype), training,
                           test_data=validation, config=cfg)
-    tstats, vstats = trainer.train()
+
+    def on_validation(tr, pepoch):
+        tr.validate(validation_batch_size=8, plot_sample_var=True,
+                    plot_power_spectra=["auto", "cross"],
+                    plot_histogram=["log"], save_plots=True,
+                    filename_template=os.path.join(
+                        args.output_path,
+                        f"{{plot_type}}_pepoch{pepoch}.png"))
+
+    validation_pepochs = (0, 1, 2, 5, 10, 15, 20, 30, 40, 50, 60, 70, 80,
+                          90, 100, 120, 140, 160, 180, 200, 230)
+    tstats, vstats = trainer.train(validation_pepochs=validation_pepochs,
+                                   on_validation=on_validation)
     print(f"done: {tstats.n_processed_samples[-1]} samples; final ELBO mavg "
           f"{tstats.loss_terms['ELBO']['mavg'][-1]:.4e}")
 
