@@ -22,15 +22,24 @@ N_PIXEL_MASSPLANE = 4096 * 3
 MASSPLANE_SIZE = 505.0  # Mpc/h
 
 
+def load_delta_plane_raw(path: str, n_pixel: int = N_PIXEL_DELTA) -> np.ndarray:
+    """Raw file contents, untransposed/unscaled (scale on device)."""
+    return np.fromfile(path, dtype=np.float32).reshape(n_pixel, -1)
+
+
 def load_delta_plane(path: str, n_pixel: int = N_PIXEL_DELTA) -> np.ndarray:
-    d = np.fromfile(path, dtype=np.float32).reshape(n_pixel, -1).T
+    d = load_delta_plane_raw(path, n_pixel).T
     d = d + 96.0  # mean of massplane
     return d * SLICS_NORM
 
 
+def load_massplane_raw(path: str,
+                       n_pixel: int = N_PIXEL_MASSPLANE) -> np.ndarray:
+    return np.fromfile(path, dtype=np.float32)[1:].reshape(n_pixel, -1)
+
+
 def load_massplane(path: str, n_pixel: int = N_PIXEL_MASSPLANE) -> np.ndarray:
-    d = np.fromfile(path, dtype=np.float32)[1:].reshape(n_pixel, -1).T
-    return d * SLICS_NORM
+    return load_massplane_raw(path, n_pixel).T * SLICS_NORM
 
 
 def load_density_fits(path: str) -> np.ndarray:

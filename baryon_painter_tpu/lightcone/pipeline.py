@@ -189,40 +189,65 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
 
-    painted_planes = []
-    problematic = []
-    for i, z_shell in enumerate(z_SLICS):
-        if verbose:
-            print(f"Processing z={z_shell:.3f}")
+    # Per-shell work is ~0.5 s of device compute behind several seconds of
+    # disk read + host->device transfer, so IO for shell i+1 is prefetched on
+    # a worker thread (including the async device_put) while shell i paints.
+    # The raw file bytes go to the device untransposed/unscaled; transpose
+    # and normalisation happen on device.
+    from concurrent.futures import ThreadPoolExecutor
+
+    @jax.jit
+    def _prep_delta(raw):
+        return (raw.T + 96.0) * slics_io.SLICS_NORM
+
+    @jax.jit
+    def _prep_massplane(raw):
+        return raw.T * slics_io.SLICS_NORM
+
+    def load_shell(i):
+        z_shell = z_SLICS[i]
         if delta_size[i] < tile_size:
-            shifts = slics_io.load_random_shifts(shifts_path, LOS)
             mp_file = slics_io.massplane_filename(massplane_path, z_shell,
                                                   LOS, i)
-            plane = slics_io.load_massplane(mp_file, n_pixel_massplane)
-            painted_planes.append(paint_plane_from_massplane(
-                painter, plane, shifts[i], z_slice[i], tile_size,
-                delta_size[i], n_pixel_tile,
-                massplane_size=massplane_size,
-                subtract_minimum=SLICS_density))
-        else:
-            if SLICS_density:
-                delta = slics_io.load_density_fits(
-                    slics_io.density_filename(delta_path, z_shell, LOS))
+            raw = slics_io.load_massplane_raw(mp_file, n_pixel_massplane)
+            return "massplane", _prep_massplane(jnp.asarray(raw))
+        if SLICS_density:
+            plane = slics_io.load_density_fits(
+                slics_io.density_filename(delta_path, z_shell, LOS))
+            return "delta", jnp.asarray(plane)
+        raw = slics_io.load_delta_plane_raw(
+            slics_io.delta_filename(delta_path, z_shell, LOS), n_pixel_delta)
+        return "delta", _prep_delta(jnp.asarray(raw))
+
+    painted_planes = []
+    problematic = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        future = pool.submit(load_shell, 0)
+        for i, z_shell in enumerate(z_SLICS):
+            if verbose:
+                print(f"Processing z={z_shell:.3f}")
+            kind, plane = future.result()
+            if i + 1 < len(z_SLICS):
+                future = pool.submit(load_shell, i + 1)
+            if kind == "massplane":
+                shifts = slics_io.load_random_shifts(shifts_path, LOS)
+                painted_planes.append(paint_plane_from_massplane(
+                    painter, plane, shifts[i], z_slice[i],
+                    tile_size, delta_size[i], n_pixel_tile,
+                    massplane_size=massplane_size,
+                    subtract_minimum=SLICS_density))
             else:
-                delta = slics_io.load_delta_plane(
-                    slics_io.delta_filename(delta_path, z_shell, LOS),
-                    n_pixel_delta)
-            out = paint_plane(painter, delta, z_slice[i], tile_size,
-                              delta_size[i], n_pixel_tile,
-                              min_tile_overlap=min_tiling_overlap,
-                              paint_batch_size=paint_batch_size,
-                              regularise=regularise,
-                              regularise_std=regularise_std,
-                              collect_problematic=return_problematic_tiles)
-            if return_problematic_tiles:
-                out, probs = out
-                problematic.extend(probs)
-            painted_planes.append(out)
+                out = paint_plane(painter, plane, z_slice[i], tile_size,
+                                  delta_size[i], n_pixel_tile,
+                                  min_tile_overlap=min_tiling_overlap,
+                                  paint_batch_size=paint_batch_size,
+                                  regularise=regularise,
+                                  regularise_std=regularise_std,
+                                  collect_problematic=return_problematic_tiles)
+                if return_problematic_tiles:
+                    out, probs = out
+                    problematic.extend(probs)
+                painted_planes.append(out)
 
     if return_problematic_tiles:
         return painted_planes, problematic

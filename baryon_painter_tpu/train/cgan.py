@@ -71,7 +71,8 @@ class CGANTrainer:
                  config: CGANTrainConfig = CGANTrainConfig(),
                  generator: Optional[CGANGenerator] = None,
                  discriminator: Optional[CGANDiscriminator] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 device_data: bool = False):
         self.training_data = training_data
         self.test_data = test_data
         self.config = config
@@ -116,6 +117,13 @@ class CGANTrainer:
             self._data_sharding = None
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+        self.device_cache = None
+        if device_data:
+            from baryon_painter_tpu.data.device_cache import DeviceStackCache
+            self.device_cache = DeviceStackCache(training_data)
+            self._train_step_digits = jax.jit(
+                self._train_step_digits_impl, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
 
@@ -192,7 +200,24 @@ class CGANTrainer:
                    "D_fake": p_fake_m}
         return new_state, metrics
 
+    def _train_step_digits_impl(self, state, digits, rng, lr):
+        raw_input, raw_labels, z = self.device_cache.gather(digits)
+        return self._train_step_impl(state, raw_input, raw_labels[0], z,
+                                     rng, lr)
+
     # ------------------------------------------------------------------ #
+
+    def step_indices(self, idx: np.ndarray, lr: float):
+        """Training step with on-device sample assembly (device_data=True)."""
+        if self.device_cache is None:
+            raise RuntimeError("Construct the trainer with device_data=True "
+                               "to use step_indices.")
+        digits = self.device_cache.digits(idx)
+        rng = jax.random.fold_in(self._rng, self._host_step)
+        self._host_step += 1
+        self.state, metrics = self._train_step_digits(
+            self.state, jnp.asarray(digits), rng, jnp.float32(lr))
+        return metrics
 
     def step(self, batch: Dict[str, np.ndarray], lr: float):
         arrs = [jnp.asarray(batch["input"]), jnp.asarray(batch["labels"][0]),
@@ -239,7 +264,10 @@ class CGANTrainer:
                 if i_pepoch >= cfg.n_pepoch:
                     break
             idx = ds.sample_indices(data_rng, cfg.batch_size)
-            m = self.step(ds.get_raw_batch(idx), lr=lr)
+            if self.device_cache is not None:
+                m = self.step_indices(idx, lr=lr)
+            else:
+                m = self.step(ds.get_raw_batch(idx), lr=lr)
             n_samples += cfg.batch_size
             stats.push_loss(n_samples, *self.stats_tuple(m), lr,
                             cfg.batch_size)

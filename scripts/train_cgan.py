@@ -23,6 +23,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=6)
     p.add_argument("--n-res-blocks", type=int, default=9)
     p.add_argument("--lambda-perceptual", type=float, default=2.5)
+    p.add_argument("--device-data", action="store_true",
+                   help="stage stacks in HBM and assemble batches on device")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -61,7 +63,8 @@ def main():
                           verbose=args.verbose)
     trainer = CGANTrainer(ds, config=cfg,
                           generator=CGANGenerator(n_res_blocks=args.n_res_blocks),
-                          discriminator=CGANDiscriminator())
+                          discriminator=CGANDiscriminator(),
+                          device_data=args.device_data)
     stats = trainer.train()
     print(f"done: {stats.n_processed_samples[-1]} samples; "
           f"loss_D mavg {stats.loss_terms['loss_D']['mavg'][-1]:.4f}")

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--n-res-blocks", type=int, default=4)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--device-data", action="store_true",
+                   help="stage stacks in HBM and assemble batches on device")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -95,7 +97,8 @@ def main():
         mavg_window_size=50, output_path=args.output_path, seed=args.seed,
         verbose=args.verbose)
     trainer = CVAETrainer(CVAE(arch, dtype=dtype), training,
-                          test_data=validation, config=cfg)
+                          test_data=validation, config=cfg,
+                          device_data=args.device_data)
 
     def on_validation(tr, pepoch):
         tr.validate(validation_batch_size=8, plot_sample_var=True,

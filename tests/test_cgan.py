@@ -110,6 +110,25 @@ def test_gan_checkpoint_and_painter(dataset, trainer, tmp_path):
     assert all(jax.tree.leaves(eq))
 
 
+def test_gan_device_data_matches_host(dataset):
+    tr_host = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                          discriminator=CGANDiscriminator(),
+                          config=CGANTrainConfig(seed=3, batch_size=2))
+    tr_dev = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                         discriminator=CGANDiscriminator(),
+                         config=CGANTrainConfig(seed=3, batch_size=2),
+                         device_data=True)
+    idx = np.arange(2)
+    m_h = tr_host.step(dataset.get_raw_batch(idx), lr=5e-5)
+    m_d = tr_dev.step_indices(idx, lr=5e-5)
+    np.testing.assert_allclose(float(m_h["loss_D"]), float(m_d["loss_D"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_h["loss_G_adv"]),
+                               float(m_d["loss_G_adv"]), rtol=1e-4)
+    with pytest.raises(RuntimeError):
+        tr_host.step_indices(idx, lr=5e-5)
+
+
 def test_gan_from_trainer_painter(dataset, trainer):
     p = CGANPainter.from_trainer(trainer)
     tiles = np.stack([dataset.get_input_sample(i, transform=False)
