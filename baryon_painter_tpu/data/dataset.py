@@ -313,8 +313,10 @@ class BahamasTileDataset:
             for name, arr in zip(self.fields, fields):
                 out.append(np.asarray(self.transform(arr, name, zs)))
             fields = out
-        stacked = np.stack(fields)[:, :, None, :, :]  # (F, N, 1, H, W)
-        return stacked, np.asarray(idx), zs
+        # (F, N, C, H, W); single-channel transforms get C=1, split-scale
+        # transforms already emit a channel axis
+        fields = [f[:, None, :, :] if f.ndim == 3 else f for f in fields]
+        return np.stack(fields), np.asarray(idx), zs
 
 
 class BatchLoader:

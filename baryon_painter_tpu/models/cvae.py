@@ -66,8 +66,10 @@ class CVAE(nn.Module):
         self.min_x_var = arch.get("min_x_var", 1e-7)
         self.likelihood_scaling = arch.get("likelihood_scaling", 1.0)
 
+        fused = arch.get("fused_res_blocks", False)
         mk = lambda key: SpecSequential(_strip_unflatten(arch[key]),
-                                        dtype=self.dtype)
+                                        dtype=self.dtype,
+                                        fused_res_blocks=fused)
         self.q_x_in = mk("q_x_in")
         self.q_y_in = mk("q_y_in")
         self.q_out = mk("q_x_y_out")
@@ -260,7 +262,8 @@ def stats_from_outputs(out: dict) -> tuple:
 def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
                                n_aux_label: int = 1, n_label_fields: int = 1,
                                n_res_blocks: int = 4,
-                               predict_var: bool = True) -> dict:
+                               predict_var: bool = True,
+                               fused_res_blocks: bool = False) -> dict:
     """The fiducial architecture of scripts/CVAE_single_scale.py:98-138,
     parameterized by tile size (fully convolutional: dim_z scales with it)."""
     n_x = n_label_fields * n_scale
@@ -315,4 +318,5 @@ def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
         "min_x_var": 1e-7,
         "min_z_var": 1e-7,
         "L": 1,
+        "fused_res_blocks": fused_res_blocks,
     }

@@ -146,6 +146,89 @@ class ResidualBlock(nn.Module):
         return _activation_from_spec(tuple(self.activation))(h)
 
 
+def _is_canonical_res_block(config):
+    """True when a residual-block spec is the canonical
+    conv3x3/bn/relu/conv3x3/bn with relu outer activation (dsl.res_block)."""
+    inner, act = config
+    if tuple(a.lower() for a in (act[0],)) != ("relu",):
+        return False
+    names = [str(l[0]).lower() for l in inner]
+    if names != ["conv", "batchnorm", "relu", "conv", "batchnorm"]:
+        return False
+    c1, c2 = inner[0][1], inner[3][1]
+    for c in (c1, c2):
+        if (c["kernel_size"], c.get("stride", 1), c.get("padding", 0),
+                c.get("bias", True)) != (3, 1, 1, False):
+            return False
+    return c1["in_channels"] == c1["out_channels"] == c2["out_channels"]
+
+
+class FusedResBlock(nn.Module):
+    """Canonical residual block with explicitly-declared parameters so the
+    eval path can run as ONE fused Pallas kernel (ops/pallas_conv.py).
+
+    Train mode reproduces flax BatchNorm semantics exactly (batch statistics,
+    running-stat update with momentum 0.9, eps 1e-5) using plain XLA ops, so
+    gradients flow normally; eval mode folds BN and dispatches to the fused
+    kernel on TPU (XLA fallback elsewhere).
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = self.features
+        w1 = self.param("conv1_kernel", torch_conv_init, (3, 3, c, c))
+        w2 = self.param("conv2_kernel", torch_conv_init, (3, 3, c, c))
+        scale1 = self.param("bn1_scale", nn.initializers.ones, (c,))
+        bias1 = self.param("bn1_bias", nn.initializers.zeros, (c,))
+        scale2 = self.param("bn2_scale", nn.initializers.ones, (c,))
+        bias2 = self.param("bn2_bias", nn.initializers.zeros, (c,))
+        mean1 = self.variable("batch_stats", "bn1_mean",
+                              lambda: jnp.zeros((c,), jnp.float32))
+        var1 = self.variable("batch_stats", "bn1_var",
+                             lambda: jnp.ones((c,), jnp.float32))
+        mean2 = self.variable("batch_stats", "bn2_mean",
+                              lambda: jnp.zeros((c,), jnp.float32))
+        var2 = self.variable("batch_stats", "bn2_var",
+                             lambda: jnp.ones((c,), jnp.float32))
+        eps, momentum = 1e-5, 0.9
+        dtype = self.dtype or x.dtype
+
+        def conv(v, w):
+            return jax.lax.conv_general_dilated(
+                v.astype(dtype), w.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if train:
+            h = conv(x, w1).astype(jnp.float32)
+            m1 = h.mean(axis=(0, 1, 2))
+            v1 = h.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                mean1.value = momentum * mean1.value + (1 - momentum) * m1
+                var1.value = momentum * var1.value + (1 - momentum) * v1
+            h = (h - m1) * jax.lax.rsqrt(v1 + eps) * scale1 + bias1
+            h = jnp.maximum(h, 0.0)
+            h = conv(h, w2).astype(jnp.float32)
+            m2 = h.mean(axis=(0, 1, 2))
+            v2 = h.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                mean2.value = momentum * mean2.value + (1 - momentum) * m2
+                var2.value = momentum * var2.value + (1 - momentum) * v2
+            h = (h - m2) * jax.lax.rsqrt(v2 + eps) * scale2 + bias2
+            return jnp.maximum(h + x.astype(jnp.float32), 0.0).astype(x.dtype)
+
+        from baryon_painter_tpu.ops.pallas_conv import (fold_bn,
+                                                        res_block_infer,
+                                                        res_block_infer_xla)
+        s1, b1 = fold_bn(scale1, bias1, mean1.value, var1.value, eps)
+        s2, b2 = fold_bn(scale2, bias2, mean2.value, var2.value, eps)
+        if jax.default_backend() == "tpu":
+            return res_block_infer(x.astype(dtype), w1, s1, b1, w2, s2, b2)
+        return res_block_infer_xla(x.astype(dtype), w1, s1, b1, w2, s2, b2)
+
+
 def _activation_from_spec(layer):
     name = layer[0]
     if name is None:
@@ -178,6 +261,7 @@ class SpecSequential(nn.Module):
     dtype: Optional[Dtype] = None
     spectral_norm: bool = False
     kernel_init: Any = torch_conv_init
+    fused_res_blocks: bool = False
 
     def _wrap(self, module):
         if self.spectral_norm:
@@ -236,9 +320,14 @@ class SpecSequential(nn.Module):
                 x = nn.softplus(x)
             elif lname == "residual block":
                 inner, act = config
-                x = ResidualBlock(tuple(map(tuple, inner)), tuple(act),
-                                  dtype=self.dtype,
-                                  spectral_norm=self.spectral_norm)(x, train=train)
+                if (self.fused_res_blocks and not self.spectral_norm
+                        and _is_canonical_res_block(config)):
+                    x = FusedResBlock(inner[0][1]["out_channels"],
+                                      dtype=self.dtype)(x, train=train)
+                else:
+                    x = ResidualBlock(tuple(map(tuple, inner)), tuple(act),
+                                      dtype=self.dtype,
+                                      spectral_norm=self.spectral_norm)(x, train=train)
             elif lname == "flatten":
                 x = x.reshape(x.shape[0], -1)
             elif lname == "unflatten":

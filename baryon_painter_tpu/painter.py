@@ -76,15 +76,23 @@ class CVAEPainter(Painter):
         out_stats = self.stats[out_field]
 
         @partial(jax.jit, static_argnames=("transform", "inverse_transform",
-                                           "return_var"))
+                                           "return_var", "z_mode"))
         def _paint(variables, tiles, zs, rng, transform=True,
-                   inverse_transform=True, return_var=False):
+                   inverse_transform=True, return_var=False,
+                   z_mode="sample"):
             y = tiles
             if transform:
                 y = in_tf.forward(y, in_stats, zs)
             # single-channel -> NHWC; split-scale transforms emit (N,C,H,W)
             y = y[..., None] if y.ndim == 3 else jnp.moveaxis(y, -3, -1)
-            res = self.model.apply(variables, y, zs, train=False,
+            z_latent = None
+            if z_mode in ("mean", "zero"):
+                # deterministic paint at the prior mean / at z=0 (the
+                # reference's commented alternative, painter.py:384)
+                z_mu, _ = self.model.apply(variables, y, zs, train=False,
+                                           method=self.model.prior)
+                z_latent = z_mu if z_mode == "mean" else jnp.zeros_like(z_mu)
+            res = self.model.apply(variables, y, zs, z=z_latent, train=False,
                                    return_var=return_var,
                                    rngs={"sample": rng},
                                    method=self.model.sample_P)
@@ -152,8 +160,12 @@ class CVAEPainter(Painter):
 
     def paint_batch(self, tiles, zs, transform: bool = True,
                     inverse_transform: bool = True, return_var: bool = False,
-                    rng=None):
-        """Paint a batch of tiles (N, H, W) with per-tile redshifts (N,)."""
+                    rng=None, z_mode: str = "sample"):
+        """Paint a batch of tiles (N, H, W) with per-tile redshifts (N,).
+
+        z_mode: 'sample' draws the latent from the prior (stochastic,
+        reference behavior); 'mean' decodes at the prior mean
+        (deterministic); 'zero' decodes at z=0."""
         tiles = jnp.asarray(tiles, jnp.float32)
         zs = jnp.asarray(zs, jnp.float32)
         if rng is None:
@@ -161,7 +173,7 @@ class CVAEPainter(Painter):
         return self._paint_fn(self.variables, tiles, zs, rng,
                               transform=transform,
                               inverse_transform=inverse_transform,
-                              return_var=return_var)
+                              return_var=return_var, z_mode=z_mode)
 
 
 class CGANPainter(Painter):

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Physics-fidelity check: train the CVAE, gate on P(k) fractional error.
+
+Trains the fiducial architecture on synthetic stacks whose pressure field is
+physically coupled to the DM field (P ~ rho^1.5), then paints validation
+tiles with the prior and reports the auto- and cross-P(k) fractional errors
+(the reference's validation metric; the north-star gate is 5%).
+
+Prints one JSON line with the P(k) errors before/after training.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def pk_errors(painter, ds, n_sample=16, seed=0, z=None):
+    import jax
+    from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
+
+    rng = np.random.default_rng(seed)
+    idx = ds.sample_indices(rng, n_sample, z=z)
+    batch = ds.get_raw_batch(idx)
+    truth = batch["labels"][0]
+    dm = batch["input"]
+    painted = np.asarray(painter.paint_batch(
+        batch["input"] / (1.0 if ds.scale_to_SLICS else 1.0), batch["z"],
+        rng=jax.random.PRNGKey(seed)))
+    pk_t, k, _, nm = pseudo_pofk_2d(truth, L=ds.tile_L, n_k_bin=12)
+    pk_p, _, _, _ = pseudo_pofk_2d(painted, L=ds.tile_L, n_k_bin=12)
+    occ = np.asarray(nm) > 0
+    auto = np.abs(np.asarray(pk_p).mean(0)[occ]
+                  / np.asarray(pk_t).mean(0)[occ] - 1)
+    # tail-clipped variant: cap painted pixels at the truth's max (the
+    # reference's outlier-regularisation rationale, process_SLICS.py:212-216)
+    painted_cl = np.clip(painted, None, truth.max())
+    pk_c, *_ = pseudo_pofk_2d(painted_cl, L=ds.tile_L, n_k_bin=12)
+    auto_cl = np.abs(np.asarray(pk_c).mean(0)[occ]
+                     / np.asarray(pk_t).mean(0)[occ] - 1)
+    pk_ct, *_ = pseudo_pofk_2d(truth, dm, L=ds.tile_L, n_k_bin=12)
+    pk_cp, *_ = pseudo_pofk_2d(painted, dm, L=ds.tile_L, n_k_bin=12)
+    cross = np.abs(np.asarray(pk_cp).mean(0)[occ]
+                   / np.asarray(pk_ct).mean(0)[occ] - 1)
+    diag = {"mean_ratio": float(painted.mean() / truth.mean()),
+            "std_ratio": float(painted.std() / truth.std()),
+            "auto_clipped": float(np.median(auto_cl))}
+    return float(np.median(auto)), float(np.median(cross)), diag
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--n-samples", type=int, default=30000)
+    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--scan", type=int, default=25)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--beta-kl", type=float, default=1.0,
+                   help="KL weight; >1 forces the posterior toward the prior "
+                        "(useful when the conditional is nearly deterministic)")
+    p.add_argument("--alpha-var", type=float, default=1.0)
+    p.add_argument("--pressure-noise", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workdir", default="/tmp/bpt_fidelity")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the checkpoint from a previous run")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.painter import CVAEPainter
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    info = make_synthetic_stacks(args.workdir, n_stack=4,
+                                 n_grid=2 * args.tile,
+                                 redshifts=(0.0, 0.5, 1.0), seed=args.seed,
+                                 name="fid", pressure_noise=args.pressure_noise)
+    transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
+                  "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
+    train_ds = BahamasTileDataset(files=load_file_info(info),
+                                  root_path=args.workdir, n_tile=2,
+                                  n_stack=3, stack_offset=1,
+                                  tile_permutations=True,
+                                  transforms=transforms)
+    val_ds = BahamasTileDataset(data=train_ds.data, n_stack=1,
+                                stack_offset=0, n_tile=2,
+                                tile_permutations=True,
+                                transforms=transforms)
+    arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
+    trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), train_ds,
+                          config=TrainConfig(seed=args.seed),
+                          device_data=True)
+    ckpt_base = os.path.join(args.workdir, "fidelity_model")
+    if args.resume and os.path.exists(ckpt_base + "_state.msgpack"):
+        trainer.restore(ckpt_base)
+        print("restored checkpoint", file=sys.stderr, flush=True)
+    painter = CVAEPainter.from_trainer(trainer)
+
+    # warm the paint graph + baseline errors with untrained weights
+    auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed)
+    print(f"untrained: auto={auto0:.3f} cross={cross0:.3f} {diag0}",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(args.seed + 1)
+    n_steps = args.n_samples // args.batch
+    t0 = time.time()
+    done = 0
+    while done < n_steps:
+        k = min(args.scan, n_steps - done)
+        idx = np.stack([train_ds.sample_indices(rng, args.batch)
+                        for _ in range(k)])
+        # fiducial-style step decay over the run
+        lr = args.lr * (0.5 ** (4 * done // n_steps))
+        m = trainer.step_scan(idx, lr=lr, alpha_var=args.alpha_var,
+                              beta_KL=args.beta_kl)
+        done += k
+        if done % (args.scan * 8) < args.scan:
+            elbo = float(np.asarray(m["elbo"])[-1])
+            rate = done * args.batch / (time.time() - t0)
+            print(f"step {done}/{n_steps} elbo={elbo:.3e} "
+                  f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
+
+    trainer.save(ckpt_base)
+    painter = CVAEPainter.from_trainer(trainer)
+    auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "pk_fractional_error_after_training",
+        "auto_untrained": round(auto0, 4), "cross_untrained": round(cross0, 4),
+        "auto": round(auto1, 4), "cross": round(cross1, 4),
+        "n_samples": args.n_samples, "tile": args.tile,
+        "train_seconds": round(dt, 1),
+        "samples_per_sec": round(args.n_samples / dt, 1),
+        "auto_clipped": round(diag1["auto_clipped"], 4),
+        "mean_ratio": round(diag1["mean_ratio"], 4),
+        "std_ratio": round(diag1["std_ratio"], 4),
+        "pass_5pct": bool(auto1 < 0.05 and cross1 < 0.05),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,21 @@ def test_paint_batch_matches_single(painter, trainer):
     assert float(np.abs(np.asarray(z1) - np.asarray(z2)).max()) > 0.1
 
 
+def test_paint_z_modes(painter, trainer):
+    tiles = np.stack([trainer.training_data.get_input_sample(i, transform=False)
+                      for i in range(2)])
+    zs = np.zeros(2, np.float32)
+    mean1 = np.asarray(painter.paint_batch(tiles, zs, z_mode="mean",
+                                           rng=jax.random.PRNGKey(1)))
+    mean2 = np.asarray(painter.paint_batch(tiles, zs, z_mode="mean",
+                                           rng=jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(mean1, mean2)  # rng-independent
+    zero = np.asarray(painter.paint_batch(tiles, zs, z_mode="zero",
+                                          rng=jax.random.PRNGKey(1)))
+    assert zero.shape == mean1.shape
+    assert np.all(np.isfinite(zero))
+
+
 def test_paint_return_var(painter, trainer):
     tile = trainer.training_data.get_input_sample(0, transform=False)
     mu, var = painter.paint(tile, z=0.0, return_var=True)
