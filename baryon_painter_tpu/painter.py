@@ -44,16 +44,70 @@ class CVAEPainter(Painter):
                  model: Optional[CVAE] = None,
                  variables: Optional[Dict[str, Any]] = None,
                  meta: Optional[dict] = None,
+                 training_data_set=None, test_data_set=None,
+                 architecture: Optional[dict] = None,
+                 dtype=None,
                  seed: int = 0):
+        """Construct from a checkpoint (``filename``), from live state
+        (``model``/``variables``/``meta``), or — reference parity
+        (painter.py:34-47) — from datasets + an architecture dict, in which
+        case ``train()`` builds the trainer and ``paint()`` becomes available
+        after training (or after ``load_state_from_file``)."""
+        self.training_data = training_data_set
+        self.test_data = test_data_set
+        self.trainer = None
+        self._train_dtype = dtype
         if filename is not None:
             self.load_state_from_file(filename)
-        else:
+        elif model is not None or variables is not None:
             if model is None or variables is None or meta is None:
                 raise ValueError("Provide either filename or "
                                  "(model, variables, meta).")
             self._setup(model, variables, meta)
+        elif architecture is not None and training_data_set is not None:
+            self.architecture = architecture
+            self.model = CVAE(architecture, dtype=dtype)
+        else:
+            raise ValueError("Provide filename, (model, variables, meta), "
+                             "or (architecture, training_data_set).")
         self._base_rng = jax.random.PRNGKey(seed)
         self._n_painted = 0
+
+    def train(self, n_pepoch: int = 5, learning_rate: float = 1e-4,
+              batch_size: int = 1, adaptive_learning_rate=None,
+              adaptive_batch_size=None, validation_pepochs=(),
+              pepoch_size: int = 3136, var_anneal_fn=None, KL_anneal_fn=None,
+              output_path: Optional[str] = None, device_data: bool = False,
+              seed: int = 0, verbose: bool = False, **config_kw):
+        """Train on the constructor's datasets; reference-parity surface
+        (painter.py:60-75). Returns (training_stats, validation_stats)."""
+        from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+        if self.training_data is None:
+            raise RuntimeError("Trying to train but no training data specified.")
+        cfg = TrainConfig(learning_rate=learning_rate, batch_size=batch_size,
+                          n_pepoch=n_pepoch, pepoch_size=pepoch_size,
+                          adaptive_learning_rate=adaptive_learning_rate,
+                          adaptive_batch_size=adaptive_batch_size,
+                          var_anneal_fn=var_anneal_fn,
+                          KL_anneal_fn=KL_anneal_fn,
+                          output_path=output_path, seed=seed,
+                          verbose=verbose, **config_kw)
+        self.trainer = CVAETrainer(self.model, self.training_data,
+                                   test_data=self.test_data, config=cfg,
+                                   device_data=device_data)
+        stats = self.trainer.train(validation_pepochs=validation_pepochs)
+        meta = ckpt.meta_from_dataset(self.training_data,
+                                      self.model.architecture)
+        self._setup(self.model,
+                    {"params": self.trainer.state.params,
+                     "batch_stats": self.trainer.state.batch_stats}, meta)
+        return stats
+
+    def validate(self, **kw):
+        """Diagnostics via the attached trainer (painter.py:295 parity)."""
+        if self.trainer is None:
+            raise RuntimeError("validate() requires train() first.")
+        return self.trainer.validate(**kw)
 
     # ------------------------------------------------------------------ #
 

@@ -111,6 +111,29 @@ def test_paint_without_transforms(painter, trainer):
     assert a.shape == b.shape == (1, TILE, TILE)
 
 
+def test_painter_train_surface(trainer, tmp_path):
+    """Reference-style flow: CVAEPainter(datasets, architecture).train()
+    then paint (painter.py:34-47,60)."""
+    from baryon_painter_tpu.models.cvae import fiducial_cvae_architecture
+    ds = trainer.training_data
+    arch = fiducial_cvae_architecture(tile_size=TILE, n_res_blocks=1)
+    p = CVAEPainter(training_data_set=ds, test_data_set=ds,
+                    architecture=arch)
+    with pytest.raises(AttributeError):
+        p.paint(np.zeros((TILE, TILE)))  # not trained yet -> no paint fn
+    tstats, vstats = p.train(n_pepoch=1, pepoch_size=8, batch_size=4,
+                             learning_rate=1e-3,
+                             statistics_report_frequency=0,
+                             validation_loss_frequency=10**9,
+                             checkpoint_frequency=10**9)
+    assert tstats.n_batches >= 2
+    out = p.paint(ds.get_input_sample(0, transform=False), z=0.0)
+    assert out.shape == (TILE, TILE)
+    figs = p.validate(validation_batch_size=2, plot_power_spectra=["auto"],
+                      plot_histogram=[])
+    assert "sample" in figs
+
+
 def test_checkpoint_roundtrip_painting(painter, trainer, tmp_path):
     base = str(tmp_path / "model")
     painter.save_state_to_file(base)
