@@ -263,7 +263,8 @@ def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
                                n_aux_label: int = 1, n_label_fields: int = 1,
                                n_res_blocks: int = 4,
                                predict_var: bool = True,
-                               fused_res_blocks: bool = False) -> dict:
+                               fused_res_blocks: bool = False,
+                               upsample: str = "transpose") -> dict:
     """The fiducial architecture of scripts/CVAE_single_scale.py:98-138,
     parameterized by tile size (fully convolutional: dim_z scales with it)."""
     n_x = n_label_fields * n_scale
@@ -305,7 +306,7 @@ def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
         "q_x_y_out": dsl.conv_block(64, 2 * dim_z[0], kernel=5),
         "p_y_in": None,
         "p_z_in": dsl.conv_up(1, channels=[1, 1, 1], scales=[2, 4, 4],
-                              bias=False, batchnorm=True),
+                              bias=False, batchnorm=True, mode=upsample),
         "p_y_z_in": (dsl.conv_block(n_aux_label + n_scale + 1, 16, kernel=5)
                      + dsl.conv_down(in_channel=16, channels=[32, 64, 128],
                                      scales=[2, 2, 2])
@@ -313,7 +314,7 @@ def fiducial_cvae_architecture(tile_size: int = 512, n_scale: int = 1,
                         for _ in range(n_res_blocks)]
                      + dsl.conv_up(128, channels=[64, 32, 16], scales=[2, 2, 2],
                                    bias=False, batchnorm=True,
-                                   activation="ReLU")),
+                                   activation="ReLU", mode=upsample)),
         "p_y_z_out": tuple(p_y_z_out),
         "min_x_var": 1e-7,
         "min_z_var": 1e-7,

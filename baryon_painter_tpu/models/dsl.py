@@ -68,10 +68,27 @@ def conv_down(in_channel, channels, scales, **kw_args):
     return arch
 
 
-def conv_up(in_channel, channels, scales, **kw_args):
-    arch = conv_block(in_channel, channels[0], type="transp conv",
-                      scale=scales[0], **kw_args)
-    for i in range(1, len(channels)):
-        arch += conv_block(channels[i - 1], channels[i], type="transp conv",
-                           scale=scales[i], **kw_args)
+def conv_up(in_channel, channels, scales, mode="transpose", **kw_args):
+    """Upsampling stack. mode='transpose' mirrors the reference (strided
+    transposed convs); mode='resize' uses nearest-neighbour resize + odd-kernel
+    conv, which cannot produce checkerboard artifacts (useful because the
+    transposed-conv decoder's high-k hash is the slowest thing to train away
+    - see scripts/fidelity_check.py)."""
+    if mode == "transpose":
+        arch = conv_block(in_channel, channels[0], type="transp conv",
+                          scale=scales[0], **kw_args)
+        for i in range(1, len(channels)):
+            arch += conv_block(channels[i - 1], channels[i],
+                               type="transp conv", scale=scales[i], **kw_args)
+        return arch
+    if mode != "resize":
+        raise ValueError(f"Unknown conv_up mode '{mode}'.")
+    arch = []
+    prev = in_channel
+    for ch, sc in zip(channels, scales):
+        if sc > 1:
+            arch.append(("upsample nearest", {"scale": sc}))
+        arch += conv_block(prev, ch, type="conv", scale=1, kernel=3,
+                           **kw_args)
+        prev = ch
     return arch

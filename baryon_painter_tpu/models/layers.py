@@ -328,6 +328,12 @@ class SpecSequential(nn.Module):
                     x = ResidualBlock(tuple(map(tuple, inner)), tuple(act),
                                       dtype=self.dtype,
                                       spectral_norm=self.spectral_norm)(x, train=train)
+            elif lname == "upsample nearest":
+                s = config["scale"]
+                n, h, w, c = x.shape
+                x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                     (n, h, s, w, s, c)
+                                     ).reshape(n, h * s, w * s, c)
             elif lname == "flatten":
                 x = x.reshape(x.shape[0], -1)
             elif lname == "unflatten":

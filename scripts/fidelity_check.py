@@ -54,6 +54,7 @@ def pk_errors(painter, ds, n_sample=16, seed=0, z=None):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="cvae", choices=["cvae", "cgan"])
     p.add_argument("--tile", type=int, default=256)
     p.add_argument("--n-samples", type=int, default=30000)
     p.add_argument("--batch", type=int, default=24)
@@ -98,15 +99,30 @@ def main():
                                 stack_offset=0, n_tile=2,
                                 tile_permutations=True,
                                 transforms=transforms)
-    arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
-    trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), train_ds,
-                          config=TrainConfig(seed=args.seed),
-                          device_data=True)
-    ckpt_base = os.path.join(args.workdir, "fidelity_model")
+    if args.model == "cvae":
+        arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
+        trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), train_ds,
+                              config=TrainConfig(seed=args.seed),
+                              device_data=True)
+        make_painter = lambda: CVAEPainter.from_trainer(trainer)
+    else:
+        from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
+                                                    CGANGenerator)
+        from baryon_painter_tpu.painter import CGANPainter
+        from baryon_painter_tpu.train.cgan import (CGANTrainConfig,
+                                                   CGANTrainer)
+        trainer = CGANTrainer(train_ds,
+                              generator=CGANGenerator(),
+                              discriminator=CGANDiscriminator(),
+                              config=CGANTrainConfig(seed=args.seed,
+                                                     batch_size=args.batch),
+                              device_data=True)
+        make_painter = lambda: CGANPainter.from_trainer(trainer)
+    ckpt_base = os.path.join(args.workdir, f"fidelity_model_{args.model}")
     if args.resume and os.path.exists(ckpt_base + "_state.msgpack"):
         trainer.restore(ckpt_base)
         print("restored checkpoint", file=sys.stderr, flush=True)
-    painter = CVAEPainter.from_trainer(trainer)
+    painter = make_painter()
 
     # warm the paint graph + baseline errors with untrained weights
     auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed)
@@ -122,10 +138,19 @@ def main():
         idx = np.stack([train_ds.sample_indices(rng, args.batch)
                         for _ in range(k)])
         # fiducial-style step decay over the run
-        lr = args.lr * (0.5 ** (4 * done // n_steps))
-        m = trainer.step_scan(idx, lr=lr, alpha_var=args.alpha_var,
-                              beta_KL=args.beta_kl)
-        done += k
+        if args.model == "cvae":
+            lr = args.lr * (0.5 ** (4 * done // n_steps))
+            m = trainer.step_scan(idx, lr=lr, alpha_var=args.alpha_var,
+                                  beta_KL=args.beta_kl)
+            done += k
+        else:
+            # CGAN: lr 5e-5 decayed 0.85 per 1568-sample pepoch
+            pepoch = done * args.batch // 1568
+            lr = 5e-5 * (0.85 ** pepoch)
+            for row in idx:
+                m = trainer.step_indices(row, lr=lr)
+            m = {"elbo": m["loss_G_adv"]}
+            done += k
         if done % (args.scan * 8) < args.scan:
             elbo = float(np.asarray(m["elbo"])[-1])
             rate = done * args.batch / (time.time() - t0)
@@ -133,11 +158,12 @@ def main():
                   f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
 
     trainer.save(ckpt_base)
-    painter = CVAEPainter.from_trainer(trainer)
+    painter = make_painter()
     auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed)
     dt = time.time() - t0
     print(json.dumps({
         "metric": "pk_fractional_error_after_training",
+        "model": args.model,
         "auto_untrained": round(auto0, 4), "cross_untrained": round(cross0, 4),
         "auto": round(auto1, 4), "cross": round(cross1, 4),
         "n_samples": args.n_samples, "tile": args.tile,

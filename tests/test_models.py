@@ -55,6 +55,27 @@ def test_spec_sequential_conv_down_up():
     assert y2.shape == (2, 128, 128, 1)
 
 
+def test_resize_conv_upsampling():
+    """Anti-checkerboard conv_up variant: same output shapes as transpose."""
+    spec = tuple(map(tuple, dsl.conv_up(8, [4, 2, 1], [2, 4, 4],
+                                        mode="resize")))
+    m = SpecSequential(spec)
+    x = jnp.zeros((1, 4, 4, 8))
+    y, _ = m.init_with_output(jax.random.PRNGKey(0), x, train=False)
+    assert y.shape == (1, 128, 128, 1)
+    from baryon_painter_tpu.models.cvae import CVAE, fiducial_cvae_architecture
+    arch = fiducial_cvae_architecture(tile_size=64, n_res_blocks=1,
+                                      upsample="resize")
+    model = CVAE(arch)
+    xx = jnp.zeros((1, 64, 64, 1))
+    out, _ = model.init_with_output(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        xx, xx, jnp.array([0.0]))
+    assert np.isfinite(float(out["elbo"]))
+    with pytest.raises(ValueError):
+        dsl.conv_up(8, [4], [2], mode="bogus")
+
+
 def test_residual_block_identity_at_zero():
     spec = (("residual block", dsl.res_block(4)),)
     m = SpecSequential(spec)
