@@ -131,5 +131,7 @@ def gather_tiles_pallas(data100, data150, digits, tile_size: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, f, t, t), data100.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(digits, data100, data150)

@@ -65,6 +65,8 @@ def main():
                         "(useful when the conditional is nearly deterministic)")
     p.add_argument("--alpha-var", type=float, default=1.0)
     p.add_argument("--pressure-noise", type=float, default=0.1)
+    p.add_argument("--upsample", default="transpose",
+                   choices=["transpose", "resize"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
@@ -100,7 +102,8 @@ def main():
                                 tile_permutations=True,
                                 transforms=transforms)
     if args.model == "cvae":
-        arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
+        arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4,
+                                          upsample=args.upsample)
         trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), train_ds,
                               config=TrainConfig(seed=args.seed),
                               device_data=True)
@@ -152,7 +155,7 @@ def main():
             m = {"elbo": m["loss_G_adv"]}
             done += k
         if done % (args.scan * 8) < args.scan:
-            elbo = float(np.asarray(m["elbo"])[-1])
+            elbo = float(np.asarray(m["elbo"]).reshape(-1)[-1])
             rate = done * args.batch / (time.time() - t0)
             print(f"step {done}/{n_steps} elbo={elbo:.3e} "
                   f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
