@@ -37,6 +37,10 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--device-data", action="store_true",
                    help="stage stacks in HBM and assemble batches on device")
+    p.add_argument("--resume-from",
+                   help="checkpoint base path to resume training from "
+                        "(restores params, batch stats, optimizer state, "
+                        "and step counter)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -99,6 +103,10 @@ def main():
     trainer = CVAETrainer(CVAE(arch, dtype=dtype), training,
                           test_data=validation, config=cfg,
                           device_data=args.device_data)
+    if args.resume_from:
+        trainer.restore(args.resume_from)
+        print(f"resumed from {args.resume_from} at step "
+              f"{int(trainer.state.step)}")
 
     def on_validation(tr, pepoch):
         tr.validate(validation_batch_size=8, plot_sample_var=True,
