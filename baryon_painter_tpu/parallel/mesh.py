@@ -57,11 +57,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     Thin wrapper over jax.distributed.initialize; replaces the reference's
     SLURM-array-of-independent-processes pattern
     (scripts/lightcone_slurm_sbatch.sh) with an in-framework capability.
-    No-op when already initialized or single-process.
+
+    No-op only when already initialized, or when called with no arguments
+    outside any recognizable cluster environment (a plain single-process
+    run). Explicit arguments that fail — e.g. a mistyped coordinator
+    address — RAISE instead of silently degrading to single-process.
     """
+    explicit = any(a is not None
+                   for a in (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process run
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        if explicit:
+            raise
+        # auto-detection found no cluster environment: single-process run

@@ -10,6 +10,7 @@ training_stats.txt), and console pretty-printing. Plotting is decoupled
 from __future__ import annotations
 
 import collections
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -21,7 +22,11 @@ class TrainingStats:
     def __init__(self, loss_terms: Sequence[str] = (),
                  moving_average_window: int = 100,
                  dump_to_file_frequency: int = 10,
-                 stats_filename: Optional[str] = None):
+                 stats_filename: Optional[str] = None,
+                 resume: bool = False):
+        """``resume=True`` re-loads an existing stats file into the history
+        (batch numbering, moving averages and file rows continue seamlessly)
+        instead of truncating it — required for resumed training runs."""
         self.mavg_window = moving_average_window
         self.n_batches = 0
         self.n_processed_samples: List[int] = []
@@ -33,20 +38,44 @@ class TrainingStats:
 
         self.stats_filename = stats_filename
         if stats_filename is not None:
-            with open(stats_filename, "w") as f:
-                f.write("# Batch nr, sample nr, {}\n".format(
-                    ", ".join(loss_terms)))
+            if resume and os.path.exists(stats_filename):
+                self._resume_from_file(stats_filename)
+            else:
+                with open(stats_filename, "w") as f:
+                    f.write("# Batch nr, sample nr, {}\n".format(
+                        ", ".join(loss_terms)))
+
+    def _resume_from_file(self, filename: str):
+        with open(filename) as f:
+            lines = f.read().splitlines()
+        if not lines or not lines[0].startswith("#"):
+            raise ValueError(f"{filename} is not a stats file (no header).")
+        header_terms = [t.strip() for t in
+                        lines[0].lstrip("# ").split(",")[2:]]
+        if header_terms != list(self.loss_terms):
+            raise ValueError(
+                f"Stats file {filename} terms {header_terms} do not match "
+                f"the current run's {list(self.loss_terms)}.")
+        for line in lines[1:]:
+            parts = line.split()
+            if len(parts) != 2 + len(self.loss_terms):
+                continue  # tolerate a torn final row from a crash
+            self._push(int(parts[1]), [float(v) for v in parts[2:]])
+        self.last_dump_to_file = self.n_batches
+
+    def _push(self, n_sample: int, values):
+        self.n_batches += 1
+        self.n_processed_samples.append(int(n_sample))
+        for value, term in zip(values, self.loss_terms.values()):
+            term["all"].append(float(value))
+            window = min(self.n_batches, self.mavg_window)
+            term["mavg"].append(float(np.mean(term["all"][-window:])))
 
     def push_loss(self, n_sample: int, *args):
         if len(args) != len(self.loss_terms):
             raise ValueError(
                 f"Expected {len(self.loss_terms)} loss values, got {len(args)}.")
-        self.n_batches += 1
-        self.n_processed_samples.append(int(n_sample))
-        for value, term in zip(args, self.loss_terms.values()):
-            term["all"].append(float(value))
-            window = min(self.n_batches, self.mavg_window)
-            term["mavg"].append(float(np.mean(term["all"][-window:])))
+        self._push(n_sample, args)
         if (self.n_batches - self.dump_to_file_frequency >= self.last_dump_to_file
                 and self.stats_filename is not None):
             self.flush_to_file()

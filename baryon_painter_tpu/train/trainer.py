@@ -37,6 +37,29 @@ from baryon_painter_tpu.train.stats import TrainingStats
 __all__ = ["TrainConfig", "TrainState", "CVAETrainer"]
 
 
+def _encode_data_rng(rng: np.random.Generator) -> np.ndarray:
+    """PCG64 generator state -> uint64[6] (128-bit state/inc split hi/lo)."""
+    st = rng.bit_generator.state
+    s, inc = st["state"]["state"], st["state"]["inc"]
+    mask = (1 << 64) - 1
+    return np.array([s >> 64, s & mask, inc >> 64, inc & mask,
+                     st["has_uint32"], st["uinteger"]], dtype=np.uint64)
+
+
+def _decode_data_rng(arr) -> np.random.Generator:
+    a = [int(v) for v in np.asarray(arr, dtype=np.uint64)]
+    rng = np.random.default_rng(0)
+    rng.bit_generator.state = {
+        "bit_generator": "PCG64",
+        "state": {"state": (a[0] << 64) | a[1], "inc": (a[2] << 64) | a[3]},
+        "has_uint32": a[4], "uinteger": a[5]}
+    return rng
+
+
+_PROGRESS_KEYS = ("n_samples", "i_pepoch", "last_pepoch_samples",
+                  "last_val_loss", "last_ckpt", "last_report")
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -65,6 +88,7 @@ class TrainConfig:
     seed: int = 0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    device_cache_budget_bytes: int = 8 * 1024 ** 3
     verbose: bool = False
 
 
@@ -131,14 +155,27 @@ class CVAETrainer:
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
+        self._progress = None
+        self._data_rng = None
+
         self.device_cache = None
         if device_data:
             from baryon_painter_tpu.data.device_cache import DeviceStackCache
-            self.device_cache = DeviceStackCache(training_data)
-            self._train_step_digits = jax.jit(self._train_step_digits_impl,
-                                              donate_argnums=(0,))
-            self._train_scan = jax.jit(self._train_scan_impl,
-                                       donate_argnums=(0,))
+            if not DeviceStackCache.fits(
+                    training_data, config.device_cache_budget_bytes):
+                import warnings
+                warnings.warn(
+                    f"device_data=True but the stacks need "
+                    f"{DeviceStackCache.nbytes(training_data) / 2**30:.1f} GiB"
+                    f" (> budget {config.device_cache_budget_bytes / 2**30:.1f}"
+                    " GiB); falling back to the host batch path.",
+                    stacklevel=3)
+            else:
+                self.device_cache = DeviceStackCache(training_data)
+                self._train_step_digits = jax.jit(
+                    self._train_step_digits_impl, donate_argnums=(0,))
+                self._train_scan = jax.jit(self._train_scan_impl,
+                                           donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
 
@@ -319,9 +356,16 @@ class CVAETrainer:
         cfg = self.config
         ds = self.training_data
 
+        # Rename the numeric channel suffix to the label-field name
+        # (reference painter.py:114-121). Suffix-anchored: a bare substring
+        # replace corrupts unrelated digits ("log_likelihood_10", field
+        # names containing the digit).
         stats_labels = list(self.model.get_stats_labels())
         for j, f in enumerate(self._label_fields):
-            stats_labels = [l.replace(f"{j}", f"{f}_0") for l in stats_labels]
+            suffix = f"_{j}"
+            stats_labels = [
+                l[:-len(suffix)] + f"_{f}_0" if l.endswith(suffix) else l
+                for l in stats_labels]
         stats_labels += ["lr", "batch_size"]
 
         out_path = cfg.output_path
@@ -333,28 +377,51 @@ class CVAETrainer:
             ckpt_template = os.path.join(
                 out_path, "checkpoint_sample{sample:0>10}")
 
+        # Resume: restore() stashes loop progress + the data-RNG state from
+        # the checkpoint; schedules fast-forward to the restored pepoch and
+        # the stats files re-load instead of truncating (SURVEY §5 failure
+        # recovery — the reference restarts from scratch).
+        progress = dict(self._progress or {})
+        resuming = bool(progress)
+        n_samples = progress.get("n_samples", 0)
+        i_pepoch = progress.get("i_pepoch", 0)
+        last_pepoch_samples = progress.get("last_pepoch_samples", 0)
+        last_val_loss = progress.get("last_val_loss", 0)
+        last_ckpt = progress.get("last_ckpt", 0)
+        last_report = progress.get("last_report", 0)
+        data_rng = (self._data_rng if resuming and self._data_rng is not None
+                    else np.random.default_rng(cfg.seed))
+
         training_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
-                                       stats_filename=train_fn)
+                                       stats_filename=train_fn,
+                                       resume=resuming)
         validation_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
                                          stats_filename=val_fn,
-                                         dump_to_file_frequency=1)
+                                         dump_to_file_frequency=1,
+                                         resume=resuming)
 
-        batch_size = (cfg.adaptive_batch_size(0)
+        batch_size = (cfg.adaptive_batch_size(i_pepoch)
                       if cfg.adaptive_batch_size else cfg.batch_size)
-        lr_mult = (cfg.adaptive_learning_rate(0)
+        lr_mult = (cfg.adaptive_learning_rate(i_pepoch)
                    if cfg.adaptive_learning_rate else 1.0)
-        alpha_var = cfg.var_anneal_fn(0) if cfg.var_anneal_fn else 1.0
-        beta_KL = cfg.KL_anneal_fn(0) if cfg.KL_anneal_fn else 1.0
+        alpha_var = cfg.var_anneal_fn(i_pepoch) if cfg.var_anneal_fn else 1.0
+        beta_KL = cfg.KL_anneal_fn(i_pepoch) if cfg.KL_anneal_fn else 1.0
 
-        data_rng = np.random.default_rng(cfg.seed)
-        n_samples = 0
-        i_pepoch = 0
-        last_pepoch_samples = 0
-        last_val_loss = 0
-        last_ckpt = 0
-        last_report = 0
+        if not resuming and 0 in validation_pepochs and on_validation:
+            # pepoch 0 fires before any training (the boundary check below
+            # only triggers after a full pepoch has elapsed)
+            on_validation(self, 0)
+
         t0 = time.time()
         pending = []
+
+        def snapshot_progress():
+            self._progress = {"n_samples": n_samples, "i_pepoch": i_pepoch,
+                              "last_pepoch_samples": last_pepoch_samples,
+                              "last_val_loss": last_val_loss,
+                              "last_ckpt": last_ckpt,
+                              "last_report": last_report}
+            self._data_rng = data_rng
 
         while i_pepoch < cfg.n_pepoch:
             # ---- pepoch boundary -------------------------------------- #
@@ -430,6 +497,12 @@ class CVAETrainer:
             if (ckpt_template is not None
                     and n_samples - cfg.checkpoint_frequency >= last_ckpt):
                 last_ckpt = n_samples
+                # flush stats first so the file on disk is consistent with
+                # the checkpoint (a resume re-loads this file)
+                self._flush_stats(pending, training_stats)
+                training_stats.flush_to_file()
+                validation_stats.flush_to_file()
+                snapshot_progress()
                 self.save(ckpt_template.format(sample=n_samples))
 
             if (cfg.statistics_report_frequency > 0
@@ -446,6 +519,7 @@ class CVAETrainer:
         self._flush_stats(pending, training_stats)
         training_stats.flush_to_file()
         validation_stats.flush_to_file()
+        snapshot_progress()
         if out_path is not None:
             self.save(os.path.join(out_path, "model"))
         return training_stats, validation_stats
@@ -521,20 +595,34 @@ class CVAETrainer:
                  "step": self.state.step}
         if include_opt_state:
             state["opt_state"] = self.state.opt_state
+        if self._progress is not None:
+            state["progress"] = np.array(
+                [self._progress[k] for k in _PROGRESS_KEYS], dtype=np.int64)
+        if self._data_rng is not None:
+            state["data_rng"] = _encode_data_rng(self._data_rng)
         meta = ckpt.meta_from_dataset(self.training_data,
                                       self.model.architecture)
         ckpt.save_checkpoint(base_path, state, meta)
 
     def restore(self, base_path: str):
-        target = {"params": self.state.params,
-                  "batch_stats": self.state.batch_stats,
-                  "step": self.state.step,
-                  "opt_state": self.state.opt_state}
-        state, meta = ckpt.load_checkpoint(base_path, target)
-        self.state = TrainState(params=state["params"],
-                                batch_stats=state["batch_stats"],
-                                opt_state=state.get("opt_state",
-                                                    self.state.opt_state),
-                                step=jnp.asarray(state["step"]))
-        self._host_step = int(state["step"])
+        import flax.serialization
+
+        raw, meta = ckpt.load_checkpoint(base_path)
+        restore = flax.serialization.from_state_dict
+        self.state = TrainState(
+            params=restore(self.state.params, raw["params"]),
+            batch_stats=restore(self.state.batch_stats, raw["batch_stats"]),
+            opt_state=(restore(self.state.opt_state, raw["opt_state"])
+                       if "opt_state" in raw else self.state.opt_state),
+            step=jnp.asarray(raw["step"]))
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state,
+                                        NamedSharding(self.mesh, P()))
+        self._host_step = int(raw["step"])
+        if "progress" in raw:
+            vals = np.asarray(raw["progress"], dtype=np.int64)
+            self._progress = {k: int(v)
+                              for k, v in zip(_PROGRESS_KEYS, vals)}
+        if "data_rng" in raw:
+            self._data_rng = _decode_data_rng(raw["data_rng"])
         return meta

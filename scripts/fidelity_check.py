@@ -29,8 +29,7 @@ def pk_errors(painter, ds, n_sample=16, seed=0, z=None):
     truth = batch["labels"][0]
     dm = batch["input"]
     painted = np.asarray(painter.paint_batch(
-        batch["input"] / (1.0 if ds.scale_to_SLICS else 1.0), batch["z"],
-        rng=jax.random.PRNGKey(seed)))
+        batch["input"], batch["z"], rng=jax.random.PRNGKey(seed)))
     pk_t, k, _, nm = pseudo_pofk_2d(truth, L=ds.tile_L, n_k_bin=12)
     pk_p, _, _, _ = pseudo_pofk_2d(painted, L=ds.tile_L, n_k_bin=12)
     occ = np.asarray(nm) > 0

@@ -93,3 +93,24 @@ def test_step_scan_matches_sequential(dataset):
     with pytest.raises(RuntimeError):
         CVAETrainer(CVAE(arch), dataset,
                     config=TrainConfig(seed=0)).step_scan(idx_matrix, 1e-3)
+
+
+def test_trainer_falls_back_when_cache_does_not_fit(dataset):
+    """device_data=True with stacks over the HBM budget must warn and fall
+    back to the host batch path instead of OOMing (docstring contract)."""
+    import warnings
+
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+
+    arch = fiducial_cvae_architecture(tile_size=dataset.tile_size,
+                                      n_res_blocks=1)
+    cfg = TrainConfig(seed=0, device_cache_budget_bytes=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tr = CVAETrainer(CVAE(arch), dataset, config=cfg, device_data=True)
+    assert any("falling back" in str(x.message) for x in w)
+    assert tr.device_cache is None
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=1e-3)
+    assert np.isfinite(float(m["elbo"]))

@@ -174,3 +174,80 @@ def test_fiducial_schedules():
     assert fiducial_adaptive_lr(64) == 0.5
     assert fiducial_adaptive_lr(96) == 0.25
     assert fiducial_adaptive_lr(10000) == 1e-6
+
+
+def _read_stats_file(path):
+    with open(path) as f:
+        lines = f.read().splitlines()
+    rows = np.array([[float(v) for v in l.split()] for l in lines[1:]])
+    return lines[0], rows
+
+
+@pytest.mark.parametrize("device_data", [False, True])
+def test_resume_matches_uninterrupted_run(dataset, arch, tmp_path,
+                                          device_data):
+    """Train 4 pepochs straight vs 2 pepochs + restore + 2 more: the full
+    (lr, batch_size, alpha_var) schedule sequence, the stats files and the
+    final parameters must be identical (true resume, SURVEY §5)."""
+    def build(outdir, n_pepoch):
+        cfg = TrainConfig(
+            learning_rate=1e-3, batch_size=2, seed=7,
+            n_pepoch=n_pepoch, pepoch_size=8,
+            adaptive_batch_size=lambda p: 2 if p < 2 else 4,
+            adaptive_learning_rate=lambda p: 0.5 ** p,
+            var_anneal_fn=lambda p: min(1.0, 0.25 * (p + 1)),
+            validation_loss_frequency=8, validation_loss_batch_size=2,
+            checkpoint_frequency=10 ** 9, statistics_report_frequency=0,
+            stats_sync_every=4, output_path=str(outdir))
+        return CVAETrainer(CVAE(arch), dataset, test_data=dataset,
+                           config=cfg, device_data=device_data)
+
+    dir_a, dir_b = tmp_path / "full", tmp_path / "resumed"
+    build(dir_a, n_pepoch=4).train()
+
+    build(dir_b, n_pepoch=2).train()
+    tr = build(dir_b, n_pepoch=4)
+    tr.restore(str(dir_b / "model"))
+    assert tr._progress is not None and tr._progress["i_pepoch"] == 2
+    tr.train()
+
+    for fn in ("training_stats.txt", "validation_stats.txt"):
+        header_a, rows_a = _read_stats_file(dir_a / fn)
+        header_b, rows_b = _read_stats_file(dir_b / fn)
+        assert header_a == header_b
+        assert rows_a.shape == rows_b.shape, fn
+        # lr / batch_size columns = the schedule sequence; loss columns =
+        # identical data + rng streams through the restored state
+        np.testing.assert_allclose(rows_b, rows_a, rtol=1e-5, atol=1e-7,
+                                   err_msg=fn)
+
+    (sa, _), (sb, _) = (load_checkpoint(str(dir_a / "model")),
+                        load_checkpoint(str(dir_b / "model")))
+    for pa, pb in zip(jax.tree.leaves(sa["params"]),
+                      jax.tree.leaves(sb["params"])):
+        np.testing.assert_allclose(pb, pa, rtol=1e-6, atol=1e-8)
+
+
+def test_resume_preserves_stats_history(tmp_path):
+    """TrainingStats(resume=True) re-loads the file instead of truncating."""
+    from baryon_painter_tpu.train.stats import TrainingStats
+
+    fn = str(tmp_path / "s.txt")
+    st = TrainingStats(["a", "b"], 3, dump_to_file_frequency=1,
+                       stats_filename=fn)
+    for i in range(5):
+        st.push_loss((i + 1) * 4, float(i), float(-i))
+    st.flush_to_file()
+
+    st2 = TrainingStats(["a", "b"], 3, dump_to_file_frequency=1,
+                        stats_filename=fn, resume=True)
+    assert st2.n_batches == 5
+    assert st2.loss_terms["a"]["all"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    st2.push_loss(24, 5.0, -5.0)
+    st2.flush_to_file()
+    _, rows = _read_stats_file(fn)
+    assert rows.shape == (6, 4)
+    assert rows[-1][0] == 5 and rows[-1][1] == 24  # numbering continues
+
+    with pytest.raises(ValueError):
+        TrainingStats(["a", "c"], 3, stats_filename=fn, resume=True)
