@@ -14,15 +14,25 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from baryon_painter_tpu.ops import conv_rewrites as _cr
+
 __all__ = ["Conv2d", "ConvTranspose2d", "SpecSequential", "ResidualBlock",
            "merge_aux_label", "torch_conv_init"]
 
 Dtype = Any
+
+
+def _rewrites_enabled() -> bool:
+    """MXU conv rewrites (ops/conv_rewrites.py) are exact and on by default;
+    BPT_DISABLE_CONV_REWRITES=1 falls back to the naive lowerings."""
+    return os.environ.get("BPT_DISABLE_CONV_REWRITES", "0") != "1"
 
 
 def torch_conv_init(key, shape, dtype=jnp.float32):
@@ -73,11 +83,20 @@ class Conv2d(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
         dtype = self.dtype or x.dtype
-        out = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
-            window_strides=(s, s), padding=[(p, p), (p, p)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        r = next((r for r in (4, 2)
+                  if _cr.s2d_rewrite_applicable(k, s, p, x.shape[1],
+                                                x.shape[2], cin, r)
+                  and _cr.s2d_rewrite_profitable(k, cin, self.features, r)),
+                 None) if _rewrites_enabled() else None
+        if r is not None:
+            out = _cr.conv_via_space_to_depth(x.astype(dtype),
+                                              kernel.astype(dtype), p, r)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=(s, s), padding=[(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -112,13 +131,18 @@ class ConvTranspose2d(nn.Module):
         pad = k - 1 - p
         if pad < 0:
             raise ValueError(f"Unsupported transp-conv padding: k={k}, p={p}.")
-        pad_cfg = [(pad, pad + self.output_padding)] * 2
-        out = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
-            window_strides=(1, 1), padding=pad_cfg,
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (_rewrites_enabled() and _cr.transp_conv_rewrite_applicable(
+                k, s, p, self.output_padding)):
+            out = _cr.transp_conv_as_conv(x.astype(dtype),
+                                          kernel.astype(dtype), s, p)
+        else:
+            pad_cfg = [(pad, pad + self.output_padding)] * 2
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=(1, 1), padding=pad_cfg,
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -93,11 +93,36 @@ def main():
     log(f"steady: {dt / n_steps * 1000:.1f} ms/step -> "
         f"{samples_per_sec:.1f} samples/s (elbo={elbo:.4e})")
 
+    # FLOPs + MFU so perf regressions are visible, not just samples/s.
+    # cost_analysis flops are for the whole scan_k-step dispatch.
+    try:
+        lowered = trainer._train_scan.lower(
+            trainer.state,
+            (jax.numpy.zeros((scan_k, batch, 9), jax.numpy.int32),
+             jax.numpy.arange(scan_k)),
+            jax.random.PRNGKey(0), jax.numpy.ones((scan_k,)),
+            jax.numpy.ones((scan_k,)), jax.numpy.ones((scan_k,)))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / scan_k
+    except Exception as e:  # cost_analysis is backend-dependent
+        log(f"cost_analysis unavailable: {e}")
+        flops_per_step = float("nan")
+    peak = {"TPU v5 lite": 197e12}.get(
+        jax.devices()[0].device_kind, float("nan"))  # bf16 peak FLOP/s
+    mfu = flops_per_step / (dt / n_steps) / peak
+    log(f"model flops/step={flops_per_step:.3e}  peak={peak:.0e}  "
+        f"MFU={100 * mfu:.1f}%")
+
     print(json.dumps({
         "metric": "cvae_train_samples_per_sec",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / 14.0, 2),
+        "flops_per_step": (None if np.isnan(flops_per_step)
+                           else round(flops_per_step / 1e9, 2) * 1e9),
+        "mfu": None if np.isnan(mfu) else round(mfu, 4),
     }))
 
 
