@@ -51,9 +51,12 @@ class DeviceStackCache:
                  use_pallas="auto"):
         """``use_pallas`` selects the scalar-prefetch DMA gather kernel
         (ops/pallas_gather.py) over vmap'd dynamic slices; 'auto' enables it
-        on TPU backends (measured 2.1x faster there, bit-exact)."""
+        on TPU backends (measured 2.1x faster there, bit-exact). Mosaic
+        requires the sliced minor dims to be 128-aligned, so tiles smaller
+        than the 128-lane register stay on the XLA path."""
         if use_pallas == "auto":
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = (jax.default_backend() == "tpu"
+                          and dataset.tile_size % 128 == 0)
         self.use_pallas = use_pallas
         self.dataset = dataset
         self.tile_size = dataset.tile_size

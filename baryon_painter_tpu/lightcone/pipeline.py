@@ -79,16 +79,29 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
                 zoom_order: int = 3,
                 regularise: bool = False,
                 regularise_std: Optional[float] = None,
-                collect_problematic: bool = False):
+                collect_problematic: bool = False,
+                mesh=None):
     """Paint one high-z shell: overlap-tile the plane, batch-paint, blend.
 
     Mirrors the reference's high-z branch (process_SLICS.py:177-220) with
-    batched device execution. Returns the painted plane (+ problem list).
+    batched device execution. With ``mesh`` (a 1-D jax.sharding.Mesh) each
+    tile batch is sharded over the mesh devices, so the whole
+    zoom -> decode -> inverse-transform graph partitions across chips (the
+    painter's variables must be replicated over the mesh; process_slics
+    does this). Returns the painted plane (+ problem list).
     """
     n_pixel_plane = int(delta_size / tile_size * n_pixel_tile)
     origins, _ = generate_tiling(n_pixel_plane, n_pixel_tile,
                                  min_tile_overlap)
     origin_px = tile_origin_pixels(origins, n_pixel_plane)
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        # each device must get an equal shard of every painted batch
+        n_dev = mesh.size
+        paint_batch_size = -(-paint_batch_size // n_dev) * n_dev
+        batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
 
     # Everything below stays on device until the final blended plane:
     # gather -> B-spline zoom -> batched paint -> weight/regularise -> blend.
@@ -112,6 +125,9 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
             chunk = jnp.concatenate(
                 [chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
         zs = jnp.full(chunk.shape[0], z_slice, jnp.float32)
+        if batch_sharding is not None:
+            chunk = jax.device_put(chunk, batch_sharding)
+            zs = jax.device_put(zs, batch_sharding)
         chunks.append(painter.paint_batch(chunk, zs)[: hi - lo])
     painted = jnp.concatenate(chunks, axis=0)
 
@@ -182,12 +198,28 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                   paint_batch_size: int = 16,
                   n_pixel_delta: int = slics_io.N_PIXEL_DELTA,
                   n_pixel_massplane: int = slics_io.N_PIXEL_MASSPLANE,
-                  massplane_size: float = slics_io.MASSPLANE_SIZE
+                  massplane_size: float = slics_io.MASSPLANE_SIZE,
+                  mesh=None,
+                  transfer_dtype=None,
                   ) -> List[np.ndarray]:
     """Full multi-shell pipeline; reference call contract
-    (process_SLICS.py:128-226)."""
+    (process_SLICS.py:128-226).
+
+    TPU scaling knobs the reference lacks:
+      * ``mesh``: a 1-D jax.sharding.Mesh; every shell's tile batch is
+        sharded over its devices (the painter's variables are replicated
+        here once). One v5e-8 slice paints ~8x the tiles per dispatch.
+      * ``transfer_dtype``: e.g. jnp.bfloat16 halves the host->device bytes
+        of the 240 MB delta planes (the dominant cost behind a
+        network-attached chip); planes are promoted back to float32 on
+        device before painting.
+    """
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
+
+    if mesh is not None and hasattr(painter, "variables"):
+        from baryon_painter_tpu.parallel.mesh import replicate
+        painter.variables = replicate(painter.variables, mesh)
 
     # Per-shell work is ~0.5 s of device compute behind several seconds of
     # disk read + host->device transfer, so IO for shell i+1 is prefetched on
@@ -198,11 +230,16 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
 
     @jax.jit
     def _prep_delta(raw):
-        return (raw.T + 96.0) * slics_io.SLICS_NORM
+        return (raw.T.astype(jnp.float32) + 96.0) * slics_io.SLICS_NORM
 
     @jax.jit
     def _prep_massplane(raw):
-        return raw.T * slics_io.SLICS_NORM
+        return raw.T.astype(jnp.float32) * slics_io.SLICS_NORM
+
+    def to_device(raw):
+        if transfer_dtype is not None:
+            raw = raw.astype(transfer_dtype)  # halve H2D bytes (bf16)
+        return jnp.asarray(raw)
 
     def load_shell(i):
         z_shell = z_SLICS[i]
@@ -210,14 +247,14 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
             mp_file = slics_io.massplane_filename(massplane_path, z_shell,
                                                   LOS, i)
             raw = slics_io.load_massplane_raw(mp_file, n_pixel_massplane)
-            return "massplane", _prep_massplane(jnp.asarray(raw))
+            return "massplane", _prep_massplane(to_device(raw))
         if SLICS_density:
             plane = slics_io.load_density_fits(
                 slics_io.density_filename(delta_path, z_shell, LOS))
             return "delta", jnp.asarray(plane)
         raw = slics_io.load_delta_plane_raw(
             slics_io.delta_filename(delta_path, z_shell, LOS), n_pixel_delta)
-        return "delta", _prep_delta(jnp.asarray(raw))
+        return "delta", _prep_delta(to_device(raw))
 
     painted_planes = []
     problematic = []
@@ -243,7 +280,8 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                                   paint_batch_size=paint_batch_size,
                                   regularise=regularise,
                                   regularise_std=regularise_std,
-                                  collect_problematic=return_problematic_tiles)
+                                  collect_problematic=return_problematic_tiles,
+                                  mesh=mesh)
                 if return_problematic_tiles:
                     out, probs = out
                     problematic.extend(probs)

@@ -59,6 +59,7 @@ class CGANTrainConfig:
     lr_decay: float = 0.85           # per pepoch
     statistics_report_frequency: int = 50
     checkpoint_frequency: int = 20000
+    stats_sync_every: int = 16       # steps between device metric syncs
     mavg_window_size: int = 20
     output_path: Optional[str] = None
     seed: int = 0
@@ -124,6 +125,8 @@ class CGANTrainer:
             self.device_cache = DeviceStackCache(training_data)
             self._train_step_digits = jax.jit(
                 self._train_step_digits_impl, donate_argnums=(0,))
+            self._train_scan = jax.jit(self._train_scan_impl,
+                                       donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
 
@@ -205,7 +208,38 @@ class CGANTrainer:
         return self._train_step_impl(state, raw_input, raw_labels[0], z,
                                      rng, lr)
 
+    def _train_scan_impl(self, state, digits_k, base_rng, lr_k):
+        """K fused G/D steps in ONE device dispatch (lax.scan) - same
+        dispatch-latency elimination as CVAETrainer._train_scan_impl."""
+        def body(st, inp):
+            digits, step_i, lr = inp
+            rng = jax.random.fold_in(base_rng, step_i)
+            st, metrics = self._train_step_digits_impl(st, digits, rng, lr)
+            return st, metrics
+
+        return jax.lax.scan(body, state,
+                            (digits_k[0], digits_k[1], lr_k))
+
     # ------------------------------------------------------------------ #
+
+    def step_scan(self, idx_matrix: np.ndarray, lr):
+        """Run K fused steps: idx_matrix (K, B) sample indices; lr scalar or
+        (K,) schedule. Returns stacked per-step metrics (device arrays)."""
+        if self.device_cache is None:
+            raise RuntimeError("Construct the trainer with device_data=True "
+                               "to use step_scan.")
+        k = idx_matrix.shape[0]
+        digits = np.stack([self.device_cache.digits(row)
+                           for row in idx_matrix])
+        if self._data_sharding is not None:
+            digits = jax.device_put(
+                digits, NamedSharding(self.mesh, P(None, "data")))
+        lr_k = jnp.asarray(np.broadcast_to(np.asarray(lr, np.float32), (k,)))
+        steps = jnp.arange(self._host_step, self._host_step + k)
+        self._host_step += k
+        self.state, metrics = self._train_scan(
+            self.state, (jnp.asarray(digits), steps), self._rng, lr_k)
+        return metrics
 
     def step_indices(self, idx: np.ndarray, lr: float):
         """Training step with on-device sample assembly (device_data=True)."""
@@ -239,6 +273,16 @@ class CGANTrainer:
         return ["loss_D", "loss_G_adv", "loss_G_perceptual", "D_real",
                 "D_fake", "lr", "batch_size"]
 
+    def _flush_stats(self, pending, stats):
+        """Buffered device metrics -> host floats in one sync."""
+        if not pending:
+            return
+        host = jax.device_get([m for _, m, _ in pending])
+        for (n_samples, _, lr), m in zip(pending, host):
+            stats.push_loss(n_samples, *self.stats_tuple(m), lr,
+                            self.config.batch_size)
+        pending.clear()
+
     def train(self):
         cfg = self.config
         ds = self.training_data
@@ -256,6 +300,7 @@ class CGANTrainer:
         last_ckpt = 0
         t0 = time.time()
         lr = cfg.learning_rate
+        pending = []
         while i_pepoch < cfg.n_pepoch:
             if n_samples - cfg.pepoch_size >= last_pepoch and n_samples:
                 i_pepoch += 1
@@ -263,27 +308,98 @@ class CGANTrainer:
                 lr = cfg.learning_rate * cfg.lr_decay ** i_pepoch
                 if i_pepoch >= cfg.n_pepoch:
                     break
-            idx = ds.sample_indices(data_rng, cfg.batch_size)
             if self.device_cache is not None:
-                m = self.step_indices(idx, lr=lr)
+                # fuse steps up to the next pepoch/checkpoint boundary into
+                # one scan dispatch (power-of-two bucket sizes)
+                horizons = [last_pepoch + cfg.pepoch_size]
+                if out is not None:
+                    horizons.append(last_ckpt + cfg.checkpoint_frequency)
+                until = max(min(horizons) - n_samples, 1)
+                k = min(max(1, cfg.stats_sync_every),
+                        -(-until // cfg.batch_size))
+                k = 1 << (k.bit_length() - 1)
+                idx = np.stack([ds.sample_indices(data_rng, cfg.batch_size)
+                                for _ in range(k)])
+                metrics_k = self.step_scan(idx, lr=lr)
+                for i in range(k):
+                    n_samples += cfg.batch_size
+                    pending.append(
+                        (n_samples,
+                         jax.tree.map(lambda a, i=i: a[i], metrics_k), lr))
             else:
+                idx = ds.sample_indices(data_rng, cfg.batch_size)
                 m = self.step(ds.get_raw_batch(idx), lr=lr)
-            n_samples += cfg.batch_size
-            stats.push_loss(n_samples, *self.stats_tuple(m), lr,
-                            cfg.batch_size)
+                n_samples += cfg.batch_size
+                pending.append((n_samples, m, lr))
+            if len(pending) >= max(1, cfg.stats_sync_every):
+                self._flush_stats(pending, stats)
             if (out is not None
                     and n_samples - cfg.checkpoint_frequency >= last_ckpt):
                 last_ckpt = n_samples
+                self._flush_stats(pending, stats)
+                stats.flush_to_file()
                 self.save(os.path.join(out, f"checkpoint_sample{n_samples:0>10}"))
-            if cfg.verbose and stats.n_batches % 50 == 0:
+            if (cfg.verbose and pending
+                    and stats.n_batches % 50 < len(pending)):
+                self._flush_stats(pending, stats)
                 rate = n_samples / (time.time() - t0)
+                d = stats.loss_terms["loss_D"]["mavg"][-1]
+                g = stats.loss_terms["loss_G_adv"]["mavg"][-1]
                 print(f"pepoch [{i_pepoch}/{cfg.n_pepoch}] samples {n_samples} "
-                      f"D {float(m['loss_D']):.3f} G_adv {float(m['loss_G_adv']):.3f} "
-                      f"({rate:.1f} samples/s)")
+                      f"D {d:.3f} G_adv {g:.3f} ({rate:.1f} samples/s)")
+        self._flush_stats(pending, stats)
         stats.flush_to_file()
         if out is not None:
             self.save(os.path.join(out, "model"))
         return stats
+
+    # ------------------------------------------------------------------ #
+
+    def validate(self, validation_batch_size: int = 8,
+                 validation_redshift: Optional[float] = None,
+                 plot_power_spectra=("auto",), plot_histogram=("log",),
+                 save_plots: bool = False,
+                 filename_template: str = "{plot_type}.png", seed: int = 0):
+        """Sample / P(k) / histogram diagnostics on a test batch, the same
+        surface as CVAETrainer.validate (reference painter.py:295-367)."""
+        if self.test_data is None:
+            raise RuntimeError("Trying to validate but no test data specified.")
+        from baryon_painter_tpu.utils import validation_plotting as vp
+
+        ds = self.test_data
+        rng = np.random.default_rng(seed)
+        idx = ds.sample_indices(rng, validation_batch_size,
+                                z=validation_redshift)
+        batch = ds.get_raw_batch(idx)
+        zs = batch["z"]
+        x, y = self._prepare(jnp.asarray(batch["input"]),
+                             jnp.asarray(batch["labels"][0]),
+                             jnp.asarray(zs))
+        fake = self.generator.apply(
+            {"params": self.state.g_params, "batch_stats": self.state.g_stats},
+            y, jnp.asarray(zs), train=False)
+
+        to_nchw = lambda a: np.moveaxis(np.asarray(a), -1, 1)
+        x_nchw, y_nchw, p_nchw = to_nchw(x), to_nchw(y), to_nchw(fake)
+        inv = [ds.get_inverse_transforms(z=z) for z in zs]
+        figs = {}
+        figs["sample"], _ = vp.plot_samples(
+            x_nchw, p_nchw, y_nchw,
+            input_label=ds.input_field, output_labels=ds.label_fields)
+        for mode in plot_power_spectra or ():
+            figs[f"{mode}_power_spectrum"], _ = vp.plot_power_spectra(
+                x_nchw, p_nchw, y_nchw, L=ds.tile_L, mode=mode,
+                output_labels=ds.label_fields,
+                input_transform=[t[0] for t in inv],
+                output_transforms=[t[1:] for t in inv])
+        for mode in plot_histogram or ():
+            figs[f"{mode}_histogram"], _ = vp.plot_histogram(
+                x_nchw, p_nchw, labels=ds.label_fields,
+                y_logscale=mode == "log")
+        if save_plots:
+            for name, fig in figs.items():
+                fig.savefig(filename_template.format(plot_type=name))
+        return figs
 
     # ------------------------------------------------------------------ #
 

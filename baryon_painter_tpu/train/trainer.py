@@ -89,6 +89,14 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     device_cache_budget_bytes: int = 8 * 1024 ** 3
+    # Spectral auxiliary loss (off by default = reference-parity training):
+    # adds pk_loss_weight * sum of squared log-ratios between the batch-mean
+    # auto/cross P(k) of a PRIOR-sampled painting (inverse-transformed to
+    # physical space, eval-mode BN — exactly the paint-time code path) and
+    # the truth's. Directly optimizes the P(k) fidelity gate (BASELINE.md:26)
+    # that plain ELBO training approaches only asymptotically.
+    pk_loss_weight: float = 0.0
+    pk_loss_n_bins: int = 12
     verbose: bool = False
 
 
@@ -158,6 +166,13 @@ class CVAETrainer:
         self._progress = None
         self._data_rng = None
 
+        if (config.pk_loss_weight > 0
+                and model.architecture.get("fused_res_blocks")):
+            raise ValueError(
+                "pk_loss_weight requires fused_res_blocks=False: the loss "
+                "differentiates through the eval-mode paint path, and the "
+                "fused Pallas inference kernel has no VJP.")
+
         self.device_cache = None
         if device_data:
             from baryon_painter_tpu.data.device_cache import DeviceStackCache
@@ -203,13 +218,62 @@ class CVAETrainer:
             rngs={"sample": rng}, mutable=["batch_stats"])
         return out, updates
 
+    def _pk_loss(self, params, batch_stats, raw_input, raw_labels, z, rng):
+        """Squared log-ratio of batch-mean auto+cross P(k), prior-sampled
+        painting vs truth, in physical space (the fidelity-gate metric)."""
+        from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
+
+        x, y = self._prepare(raw_input, raw_labels, z)
+        pred_t = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, y, z,
+            train=False, rngs={"sample": rng}, method=self.model.sample_P)
+        pred_t = pred_t[..., 0].astype(jnp.float32)
+        # clamp to the truth's transformed range (+margin) so the exp in the
+        # inverse transform cannot overflow on early-training outliers
+        x0 = jax.lax.stop_gradient(x[..., 0].astype(jnp.float32))
+        pred_t = jnp.clip(pred_t, x0.min() - 1.0, x0.max() + 1.0)
+        field = self._label_fields[0]
+        pred = self._transforms[field].inverse(pred_t, self._stats[field], z)
+        truth = raw_labels[0].astype(jnp.float32)
+        dm = raw_input.astype(jnp.float32)
+        L = float(self.training_data.tile_L)
+        nb = self.config.pk_loss_n_bins
+
+        def mean_pk(a, b=None):
+            pk, _, _, nm = pseudo_pofk_2d(a, b, L=L, n_k_bin=nb)
+            return pk.mean(axis=0), nm > 0
+
+        pk_p, occ = mean_pk(pred)
+        pk_t, _ = mean_pk(truth)
+        # auto spectra are positive: squared log-ratio is scale-free across
+        # the ~6 decades of P(k)
+        auto = jnp.where(occ, jnp.log(pk_p + 1e-30) - jnp.log(pk_t + 1e-30),
+                         0.0)
+        pk_cp, _ = mean_pk(pred, dm)
+        pk_ct, _ = mean_pk(truth, dm)
+        # cross spectra are signed and pass through ~0 at high k where the
+        # true correlation is weak - a log|.| there explodes and destroys
+        # training (observed: cross error 0.04 -> 1.0); use the relative
+        # error against |P_ct| instead, which anchors sign AND magnitude
+        cross = jnp.where(occ, (pk_cp - pk_ct)
+                          / (jnp.abs(pk_ct) + 1e-30), 0.0)
+        n = jnp.maximum(occ.sum(), 1)
+        return ((auto ** 2).sum() + (cross ** 2).sum()) / n
+
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
                          rng, lr, alpha_var, beta_KL):
         def loss_fn(params):
             out, updates = self._forward(params, state.batch_stats, raw_input,
                                          raw_labels, z, rng, alpha_var,
                                          beta_KL, True)
-            return -out["elbo"], (out, updates)
+            loss = -out["elbo"]
+            if self.config.pk_loss_weight > 0:
+                pk = self._pk_loss(params, state.batch_stats, raw_input,
+                                   raw_labels, z,
+                                   jax.random.fold_in(rng, 1))
+                out = dict(out, pk_loss=pk)
+                loss = loss + self.config.pk_loss_weight * pk
+            return loss, (out, updates)
 
         (_, (out, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -83,6 +83,9 @@ def main():
     z_slice = np.array([cosmo.redshift_of_chi(252.5 / cosmo.h * i)
                         for i in range(len(z_arr))])
 
+    transfer_dtype = (jax.numpy.bfloat16
+                      if os.environ.get("BPT_LC_BF16") == "1" else None)
+
     def run():
         planes = process_slics(
             painter, tile_size=100.0, n_pixel_tile=512, LOS=los,
@@ -91,7 +94,7 @@ def main():
             massplane_path=os.path.join(WORKDIR, "massplanes"),
             shifts_path=os.path.join(WORKDIR, "random_shifts"),
             z_slice=z_slice, min_tiling_overlap=0.2, verbose=True,
-            paint_batch_size=16)
+            paint_batch_size=16, transfer_dtype=transfer_dtype)
         y = create_y_map(planes, z_arr, resolution=1549, map_size=10.0,
                          cosmo=cosmo, order=3)
         return planes, y
@@ -108,6 +111,46 @@ def main():
     print(f"steady LOS: {t_steady:.1f}s "
           f"({'PASS' if t_steady < 60 else 'MISS'} vs <60s target "
           f"[target is for v5e-8; this is 1 chip])", flush=True)
+
+    # ---- v5e-8 budget model --------------------------------------------- #
+    # Measure the two components this environment CAN measure - per-shell
+    # device compute (plane already in HBM) and the tunnel H2D rate - then
+    # model a real v5e-8 host (local PCIe H2D ~10 GB/s, NVMe read ~2 GB/s,
+    # paint batches sharded 8-ways as in test_process_slics_sharded_*).
+    import jax.numpy as jnp
+    from baryon_painter_tpu.lightcone.pipeline import paint_plane
+
+    plane_px = 7745
+    plane_bytes = plane_px * plane_px * (2 if transfer_dtype else 4)
+    t0 = time.time()
+    jax.device_put(np.zeros((plane_px, plane_px),
+                            np.float32 if not transfer_dtype else np.float16)
+                   ).block_until_ready()
+    t_h2d_here = time.time() - t0
+
+    t_compute = 0.0
+    for i, z in enumerate(z_arr):
+        if delta_size[i] < 100.0:
+            continue  # low-z massplane shells are single-tile, negligible
+        n_px = int(delta_size[i] / 100.0 * 512)
+        plane_dev = jnp.asarray(np.zeros((n_px, n_px), np.float32))
+        paint_plane(painter, plane_dev, float(z_slice[i]), 100.0,
+                    float(delta_size[i]), 512, min_tile_overlap=0.2)
+        t0 = time.time()
+        np.asarray(paint_plane(painter, plane_dev, float(z_slice[i]), 100.0,
+                               float(delta_size[i]), 512,
+                               min_tile_overlap=0.2))
+        t_compute += time.time() - t0
+    n_hi = int(np.sum(delta_size >= 100.0))
+    per_shell_io_v5e8 = plane_bytes / 2e9 + plane_bytes / 10e9  # NVMe + PCIe
+    modeled = sum(max(per_shell_io_v5e8, (t_compute / n_hi) / 8)
+                  for _ in range(n_hi)) + 2.0  # +2s massplane shells / misc
+    print(f"budget: measured per-shell compute {t_compute / n_hi:.2f}s "
+          f"(1 chip, incl. per-call dispatch over the tunnel); "
+          f"tunnel H2D {t_h2d_here:.2f}s/plane", flush=True)
+    print(f"modeled v5e-8 LOS (local IO, 8-way sharded paint): "
+          f"{modeled:.1f}s ({'PASS' if modeled < 60 else 'MISS'} vs <60s)",
+          flush=True)
 
 
 if __name__ == "__main__":

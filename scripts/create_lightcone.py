@@ -32,6 +32,12 @@ def main():
     parser.add_argument("--output-file", required=True)
     parser.add_argument("--output-file-planes")
     parser.add_argument("--paint-batch-size", default=16, type=int)
+    parser.add_argument("--mesh-devices", default=0, type=int,
+                        help="shard every shell's tile batch over this many "
+                             "local devices (0 = single device)")
+    parser.add_argument("--bf16-transfer", action="store_true",
+                        help="ship SLICS planes to the device as bfloat16 "
+                             "(halves H2D bytes; promoted to f32 on device)")
     args = parser.parse_args()
 
     from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
@@ -69,6 +75,16 @@ def main():
     print(f"Painting {n_z} of {len(z_SLICS)} planes, "
           f"overlap {args.tile_overlap}.")
 
+    mesh = None
+    if args.mesh_devices:
+        from baryon_painter_tpu.parallel.mesh import data_parallel_mesh
+        mesh = data_parallel_mesh(args.mesh_devices)
+        print(f"Sharding tile batches over {mesh.size} devices.")
+    transfer_dtype = None
+    if args.bf16_transfer:
+        import jax.numpy as jnp
+        transfer_dtype = jnp.bfloat16
+
     painted_planes = process_slics(
         painter, tile_size=100.0, n_pixel_tile=512, LOS=LOS,
         z_SLICS=z_SLICS[:n_z],
@@ -76,7 +92,8 @@ def main():
         delta_path=delta_path, massplane_path=massplane_path,
         shifts_path=shifts_path, z_slice=z_slice[:n_z],
         min_tiling_overlap=args.tile_overlap,
-        paint_batch_size=args.paint_batch_size)
+        paint_batch_size=args.paint_batch_size,
+        mesh=mesh, transfer_dtype=transfer_dtype)
 
     res = args.output_resolution
     y_map = create_y_map(painted_planes, z_SLICS[:n_z], resolution=res,

@@ -66,13 +66,25 @@ def main():
     p.add_argument("--pressure-noise", type=float, default=0.1)
     p.add_argument("--upsample", default="transpose",
                    choices=["transpose", "resize"])
+    p.add_argument("--pk-loss-weight", type=float, default=0.0,
+                   help="weight of the spectral auxiliary loss "
+                        "(trainer.TrainConfig.pk_loss_weight); the ELBO is "
+                        "O(1e5)/sample so useful values are ~1e4-1e6")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
                    help="restore the checkpoint from a previous run")
+    p.add_argument("--save-figures", action="store_true",
+                   help="save sample/P(k)/histogram figures from the trained "
+                        "model into the workdir")
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize force-registers the TPU backend and
+        # overrides the env var; re-assert the user's platform choice
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
@@ -103,9 +115,11 @@ def main():
     if args.model == "cvae":
         arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4,
                                           upsample=args.upsample)
-        trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), train_ds,
-                              config=TrainConfig(seed=args.seed),
-                              device_data=True)
+        trainer = CVAETrainer(
+            CVAE(arch, dtype=jnp.bfloat16), train_ds,
+            config=TrainConfig(seed=args.seed,
+                               pk_loss_weight=args.pk_loss_weight),
+            device_data=True)
         make_painter = lambda: CVAEPainter.from_trainer(trainer)
     else:
         from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
@@ -113,7 +127,7 @@ def main():
         from baryon_painter_tpu.painter import CGANPainter
         from baryon_painter_tpu.train.cgan import (CGANTrainConfig,
                                                    CGANTrainer)
-        trainer = CGANTrainer(train_ds,
+        trainer = CGANTrainer(train_ds, test_data=val_ds,
                               generator=CGANGenerator(),
                               discriminator=CGANDiscriminator(),
                               config=CGANTrainConfig(seed=args.seed,
@@ -149,8 +163,7 @@ def main():
             # CGAN: lr 5e-5 decayed 0.85 per 1568-sample pepoch
             pepoch = done * args.batch // 1568
             lr = 5e-5 * (0.85 ** pepoch)
-            for row in idx:
-                m = trainer.step_indices(row, lr=lr)
+            m = trainer.step_scan(idx, lr=lr)
             m = {"elbo": m["loss_G_adv"]}
             done += k
         if done % (args.scan * 8) < args.scan:
@@ -161,7 +174,20 @@ def main():
 
     trainer.save(ckpt_base)
     painter = make_painter()
+    if args.save_figures:
+        if trainer.test_data is None:
+            trainer.test_data = val_ds
+        trainer.validate(
+            save_plots=True,
+            filename_template=os.path.join(
+                args.workdir, f"{args.model}_{{plot_type}}.png"))
+        print(f"figures saved in {args.workdir}", file=sys.stderr, flush=True)
     auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed)
+    # the gate is per-redshift (validation_plotting.py:76-158 panels per z)
+    per_z = {}
+    for z in val_ds.redshifts:
+        az, cz, _ = pk_errors(painter, val_ds, seed=args.seed, z=z)
+        per_z[f"{z:g}"] = {"auto": round(az, 4), "cross": round(cz, 4)}
     dt = time.time() - t0
     print(json.dumps({
         "metric": "pk_fractional_error_after_training",
@@ -174,7 +200,9 @@ def main():
         "auto_clipped": round(diag1["auto_clipped"], 4),
         "mean_ratio": round(diag1["mean_ratio"], 4),
         "std_ratio": round(diag1["std_ratio"], 4),
-        "pass_5pct": bool(auto1 < 0.05 and cross1 < 0.05),
+        "per_z": per_z,
+        "pass_5pct": bool(all(v["auto"] < 0.05 and v["cross"] < 0.05
+                              for v in per_z.values())),
     }))
 
 

@@ -224,3 +224,70 @@ def test_create_y_map_handles_nans():
     assert np.all(np.isfinite(y))
     with pytest.raises(ValueError):
         create_y_map([p], [0.2, 0.3], 32, 10.0, cosmo)
+
+
+# --------------------------------------------------------------------- #
+# Multi-chip painting (VERDICT r1 item 4): sharded == single-device
+# --------------------------------------------------------------------- #
+
+def test_process_slics_sharded_matches_single_device(tmp_path, rng):
+    """A multi-shell synthetic LOS painted with an 8-device mesh (real CVAE
+    painter, tile batches sharded over the mesh, bf16 plane transfer off)
+    must equal the single-device result."""
+    import jax
+
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cvae import (CVAE,
+                                                fiducial_cvae_architecture)
+    from baryon_painter_tpu.painter import CVAEPainter
+    from baryon_painter_tpu.parallel.mesh import data_parallel_mesh
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    root = str(tmp_path / "stacks")
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 1.0))
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    tr = CVAETrainer(CVAE(fiducial_cvae_architecture(tile_size=32,
+                                                     n_res_blocks=1)),
+                     ds, config=TrainConfig(seed=0))
+    tr.step(ds.get_raw_batch(np.arange(2)), lr=1e-3)
+
+    n_delta = 128
+    delta_path, shifts_path = tmp_path / "delta", tmp_path / "shifts"
+    os.makedirs(delta_path), os.makedirs(shifts_path)
+    z_shells = [0.5, 1.0]
+    for z in z_shells:
+        d = rng.standard_normal(n_delta * n_delta).astype(np.float32)
+        d.tofile(delta_path / f"{z:.3f}delta.dat_bicubic_LOS3")
+
+    def run(mesh, painter, **kw):
+        # NOTE chunk sizes (and so the folded paint rngs) differ between the
+        # runs; the prior-sample contribution is ~1e-7 of the output for this
+        # 1-step model (verified), so the comparison tests the sharded
+        # transform->decode->inverse pipeline, not rng bookkeeping.
+        return process_slics(
+            painter, tile_size=100.0, n_pixel_tile=32, LOS=3,
+            z_SLICS=z_shells, delta_size=np.array([200.0, 250.0]),
+            delta_path=str(delta_path), massplane_path="", shifts_path="",
+            z_slice=[0.45, 0.9], verbose=False, n_pixel_delta=n_delta,
+            paint_batch_size=4, mesh=mesh, **kw)
+
+    planes_single = run(None, CVAEPainter.from_trainer(tr, seed=0))
+    mesh = data_parallel_mesh(8)
+    planes_sharded = run(mesh, CVAEPainter.from_trainer(tr, seed=0))
+
+    assert len(planes_single) == len(planes_sharded) == 2
+    for a, b in zip(planes_single, planes_sharded):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-5)
+
+    # bf16 plane transfer: same pipeline, tolerance at bf16 resolution
+    planes_bf16 = run(mesh, CVAEPainter.from_trainer(tr, seed=0),
+                      transfer_dtype=jax.numpy.bfloat16)
+    for a, b in zip(planes_single, planes_bf16):
+        np.testing.assert_allclose(b, a, rtol=0.15, atol=0.15 * np.abs(a).max())
