@@ -169,3 +169,27 @@ def test_empty_and_missing_files(tmp_path, rng):
                         "4", str(tmp_path / "out"), "2", "CIC"],
                        capture_output=True)
     assert r.returncode != 0
+
+
+@pytest.mark.parametrize("binning", ["NGP", "CIC"])
+def test_threaded_deposition_matches_serial(tmp_path, rng, binning):
+    """OMP_NUM_THREADS=4 must reproduce the serial output byte-for-byte
+    (per-thread accumulators reduced deterministically; double-add
+    reassociation is invisible at the emitted float32 precision)."""
+    n, L, m, ns = 5000, 10.0, 8, 4
+    pos = rng.uniform(0, L, size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, size=n).astype(np.float32) * 1e10
+    write_mccarthy(tmp_path / "sim_dm.dat", pos, mass)
+
+    outs = {}
+    for nt in ("1", "4"):
+        outdir = tmp_path / f"t{nt}"
+        os.makedirs(outdir)
+        env = dict(os.environ, OMP_NUM_THREADS=nt)
+        subprocess.run([TOOL, str(tmp_path / "sim"), "0.3", "0.7", str(L),
+                        str(m), str(outdir / "out"), str(ns), binning],
+                       check=True, capture_output=True, env=env)
+        fn = [f for f in os.listdir(outdir) if "dm" in f][0]
+        with open(outdir / fn, "rb") as f:
+            outs[nt] = f.read()
+    assert outs["1"] == outs["4"], "threaded deposition differs from serial"

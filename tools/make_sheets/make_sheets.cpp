@@ -178,24 +178,62 @@ inline int sheet_of(int cell, int m, int n_sheet) {
   return int(std::ceil(double(cell + 1) / m * n_sheet)) - 1;
 }
 
+// OpenMP-threaded particle loop (SURVEY §7.8; the reference Fortran hot loop
+// BAHAMAS_sheets.f90:487-764 is serial). Each thread deposits into a private
+// accumulator over a static chunk of particles; partials are then reduced in
+// thread order, so the result is deterministic for a given thread count and
+// equal to the serial sum up to double-add reassociation (invisible at the
+// emitted float32 precision - tested byte-for-byte in test_make_sheets.py).
+// Thread count is capped so the private fields stay under ~4 GiB total.
+template <typename PerParticle>
+void run_deposit(int64_t n, SheetField& d, const PerParticle& body) {
+#ifdef _OPENMP
+  const size_t bytes = d.acc.size() * sizeof(double);
+  int nt = omp_get_max_threads();
+  if (bytes > 0) {
+    const size_t budget = size_t(4) << 30;
+    const size_t cap = budget / bytes;
+    if (cap < size_t(nt)) nt = int(cap ? cap : 1);
+  }
+  if (nt > 1 && n > 1) {
+    std::vector<std::vector<double>> partials(nt);
+    #pragma omp parallel num_threads(nt)
+    {
+      const int t = omp_get_thread_num();
+      std::vector<double>& acc = partials[t];
+      acc.assign(d.acc.size(), 0.0);
+      SheetField local(d.n_sheet, d.m);
+      local.acc.swap(acc);
+      #pragma omp for schedule(static)
+      for (int64_t i = 0; i < n; ++i) body(i, local);
+      local.acc.swap(acc);
+    }
+    for (int t = 0; t < nt; ++t)
+      for (size_t j = 0; j < d.acc.size(); ++j) d.acc[j] += partials[t][j];
+    return;
+  }
+#endif
+  for (int64_t i = 0; i < n; ++i) body(i, d);
+}
+
 void deposit_ngp(const Particles& p, const std::vector<float>& w, float L,
                  SheetField& d) {
   const int m = d.m, ns = d.n_sheet;
-  for (int64_t i = 0; i < p.n; ++i) {
+  run_deposit(p.n, d, [&](int64_t i, SheetField& out) {
     const int ix = cell_of(p.pos[3 * i], L, m);
     const int iy = cell_of(p.pos[3 * i + 1], L, m);
     const int iz = cell_of(p.pos[3 * i + 2], L, m);
     const double wi = w[i];
-    d.add(0, sheet_of(ix, m, ns), iy, iz, wi);
-    d.add(1, sheet_of(iy, m, ns), ix, iz, wi);
-    d.add(2, sheet_of(iz, m, ns), ix, iy, wi);
-  }
+    out.add(0, sheet_of(ix, m, ns), iy, iz, wi);
+    out.add(1, sheet_of(iy, m, ns), ix, iz, wi);
+    out.add(2, sheet_of(iz, m, ns), ix, iy, wi);
+  });
 }
 
 void deposit_cic(const Particles& p, const std::vector<float>& w, float L,
                  SheetField& d) {
   const int m = d.m, ns = d.n_sheet;
-  for (int64_t i = 0; i < p.n; ++i) {
+  run_deposit(p.n, d, [&](int64_t i, SheetField& out) {
     int ic[3], in[3];
     double frac[3];
     for (int a = 0; a < 3; ++a) {
@@ -224,11 +262,11 @@ void deposit_cic(const Particles& p, const std::vector<float>& w, float L,
         idx[a] = nb ? in[a] : ic[a];
       }
       if (cw == 0.0) continue;
-      d.add(0, sheet_of(idx[0], m, ns), idx[1], idx[2], cw);
-      d.add(1, sheet_of(idx[1], m, ns), idx[0], idx[2], cw);
-      d.add(2, sheet_of(idx[2], m, ns), idx[0], idx[1], cw);
+      out.add(0, sheet_of(idx[0], m, ns), idx[1], idx[2], cw);
+      out.add(1, sheet_of(idx[1], m, ns), idx[0], idx[2], cw);
+      out.add(2, sheet_of(idx[2], m, ns), idx[0], idx[1], cw);
     }
-  }
+  });
 }
 
 void write_field(const SheetField& d, const std::string& path) {
