@@ -165,6 +165,9 @@ class CVAETrainer:
 
         self._progress = None
         self._data_rng = None
+        # optional declarative RunConfig (train/run_config.py); stored into
+        # every checkpoint's meta for full-run reproducibility
+        self.run_config = None
 
         if (config.pk_loss_weight > 0
                 and model.architecture.get("fused_res_blocks")):
@@ -666,6 +669,8 @@ class CVAETrainer:
             state["data_rng"] = _encode_data_rng(self._data_rng)
         meta = ckpt.meta_from_dataset(self.training_data,
                                       self.model.architecture)
+        if self.run_config is not None:
+            meta["run_config"] = self.run_config.to_dict()
         ckpt.save_checkpoint(base_path, state, meta)
 
     def restore(self, base_path: str):

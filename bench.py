@@ -80,13 +80,21 @@ def main():
     m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)  # warmup
     float(m["elbo"][-1])
 
+    # BPT_BENCH_PROFILE=<dir> wraps the timed loop in a jax.profiler device
+    # trace; per-dispatch wall times always go through StepTimer.
+    from baryon_painter_tpu.utils.profiling import StepTimer, device_trace
+
+    timer = StepTimer(skip_first=0)
     t0 = time.time()
     n_scans = max(1, n_steps // scan_k)
-    for _ in range(n_scans):
-        m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
-    elbo = float(m["elbo"][-1])  # blocks on the whole chain
+    with device_trace(os.environ.get("BPT_BENCH_PROFILE")):
+        for _ in range(n_scans):
+            with timer:
+                m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
+        elbo = float(m["elbo"][-1])  # blocks on the whole chain
     dt = time.time() - t0
     n_steps = n_scans * scan_k
+    log(f"per-dispatch ({scan_k} steps each): {timer.summary()}")
 
     assert np.isfinite(elbo), "non-finite ELBO after timed steps"
     samples_per_sec = n_steps * batch / dt

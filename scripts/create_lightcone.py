@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from baryon_painter_tpu.utils.platform import respect_env_platform
+    respect_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-type", default="CVAE",
                         choices=["CVAE", "CGAN"])

@@ -81,10 +81,8 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # the axon sitecustomize force-registers the TPU backend and
-        # overrides the env var; re-assert the user's platform choice
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from baryon_painter_tpu.utils.platform import respect_env_platform
+    respect_env_platform()
     import jax.numpy as jnp
 
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,

@@ -40,10 +40,24 @@ def main():
     p.add_argument("--resume-from",
                    help="checkpoint base path to resume training from "
                         "(restores params, batch stats, optimizer state, "
-                        "and step counter)")
+                        "loop progress, data-rng state and step counter)")
+    p.add_argument("--config",
+                   help="declarative run-config JSON (train/run_config.py); "
+                        "covers architecture + transforms + schedules + "
+                        "trainer scalars; CLI flags override its values")
+    p.add_argument("--profile", metavar="LOG_DIR", default=None,
+                   help="wrap training in a jax.profiler device trace "
+                        "written to LOG_DIR (TensorBoard-compatible) and "
+                        "print per-dispatch wall-time percentiles")
+    p.add_argument("--pk-loss-weight", type=float, default=None,
+                   help="spectral auxiliary loss weight (see "
+                        "TrainConfig.pk_loss_weight)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
+
+    from baryon_painter_tpu.utils.platform import respect_env_platform
+    respect_env_platform()
 
     import jax.numpy as jnp
 
@@ -52,13 +66,19 @@ def main():
     from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
     from baryon_painter_tpu.models.cvae import (CVAE,
                                                 fiducial_cvae_architecture)
-    from baryon_painter_tpu.train.schedules import (
-        fiducial_adaptive_batch_size, fiducial_adaptive_lr)
-    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
-    from baryon_painter_tpu.transforms import RangeCompress
+    from baryon_painter_tpu.train.run_config import RunConfig
+    from baryon_painter_tpu.train.trainer import CVAETrainer
+    from baryon_painter_tpu.transforms import transform_from_dict
 
-    transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
-                  "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
+    run_cfg = RunConfig.load(args.config) if args.config else None
+    if run_cfg is not None and run_cfg.transforms:
+        transforms = run_cfg.build_transforms()
+    else:
+        transforms = {
+            f: transform_from_dict({"type": "range_compress",
+                                    "mode": "shift-log", "k": 4.0,
+                                    "eps": 1e-4})
+            for f in ("dm", "pressure")}
 
     if args.synthetic:
         data_path = os.path.join(args.output_path, "synthetic_data")
@@ -88,21 +108,41 @@ def main():
                                         if k not in ("files", "root_path")})
 
     tile = args.tile_size or training.tile_size
-    arch = fiducial_cvae_architecture(tile_size=tile,
-                                      n_res_blocks=args.n_res_blocks)
+    if run_cfg is not None and run_cfg.architecture:
+        arch = run_cfg.architecture
+    else:
+        arch = fiducial_cvae_architecture(tile_size=tile,
+                                          n_res_blocks=args.n_res_blocks)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = TrainConfig(
-        learning_rate=args.learning_rate,
-        n_pepoch=args.n_pepoch, pepoch_size=args.pepoch_size,
-        adaptive_batch_size=fiducial_adaptive_batch_size,
-        adaptive_learning_rate=lambda pe: fiducial_adaptive_lr(pe),
-        validation_loss_frequency=72, validation_loss_batch_size=24,
-        checkpoint_frequency=20000, statistics_report_frequency=400,
-        mavg_window_size=50, output_path=args.output_path, seed=args.seed,
-        verbose=args.verbose)
+
+    if run_cfg is None:
+        # assemble the declarative config for this run (fiducial schedules
+        # as specs) so it lands in run_config.json + every checkpoint meta
+        run_cfg = RunConfig(
+            architecture=arch,
+            transforms={f: t.to_dict() for f, t in transforms.items()},
+            schedules={"batch_size_schedule": {"kind": "fiducial_batch"},
+                       "lr_schedule": {"kind": "fiducial_lr"}},
+            train=dict(validation_loss_frequency=72,
+                       validation_loss_batch_size=24,
+                       checkpoint_frequency=20000,
+                       statistics_report_frequency=400,
+                       mavg_window_size=50))
+    overrides = dict(learning_rate=args.learning_rate,
+                     n_pepoch=args.n_pepoch, pepoch_size=args.pepoch_size,
+                     output_path=args.output_path, seed=args.seed,
+                     verbose=args.verbose)
+    if args.pk_loss_weight is not None:
+        overrides["pk_loss_weight"] = args.pk_loss_weight
+        run_cfg.train["pk_loss_weight"] = args.pk_loss_weight
+    cfg = run_cfg.build_train_config(**overrides)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    run_cfg.save(os.path.join(args.output_path, "run_config.json"))
     trainer = CVAETrainer(CVAE(arch, dtype=dtype), training,
                           test_data=validation, config=cfg,
                           device_data=args.device_data)
+    trainer.run_config = run_cfg
     if args.resume_from:
         trainer.restore(args.resume_from)
         print(f"resumed from {args.resume_from} at step "
@@ -118,8 +158,13 @@ def main():
 
     validation_pepochs = (0, 1, 2, 5, 10, 15, 20, 30, 40, 50, 60, 70, 80,
                           90, 100, 120, 140, 160, 180, 200, 230)
-    tstats, vstats = trainer.train(validation_pepochs=validation_pepochs,
-                                   on_validation=on_validation)
+    from baryon_painter_tpu.utils.profiling import device_trace
+    with device_trace(args.profile):
+        tstats, vstats = trainer.train(validation_pepochs=validation_pepochs,
+                                       on_validation=on_validation)
+    if args.profile:
+        print(f"device trace written to {args.profile} "
+              "(view with TensorBoard's profile plugin)")
     print(f"done: {tstats.n_processed_samples[-1]} samples; final ELBO mavg "
           f"{tstats.loss_terms['ELBO']['mavg'][-1]:.4e}")
 
