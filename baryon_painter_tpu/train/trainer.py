@@ -97,6 +97,13 @@ class TrainConfig:
     # that plain ELBO training approaches only asymptotically.
     pk_loss_weight: float = 0.0
     pk_loss_n_bins: int = 12
+    # Compute the spectral loss per redshift (masked batch-mean spectra, one
+    # term per z in the training set, averaged) instead of pooled across the
+    # whole batch. The gate is per-z (validation_plotting.py:76-158 panels per
+    # z); a pooled loss lets the model overshoot one z and undershoot another
+    # while the z-averaged spectrum stays perfect. Use with batches carrying
+    # a balanced number of samples per z.
+    pk_loss_per_z: bool = False
     verbose: bool = False
 
 
@@ -242,25 +249,41 @@ class CVAETrainer:
         L = float(self.training_data.tile_L)
         nb = self.config.pk_loss_n_bins
 
-        def mean_pk(a, b=None):
+        def sample_pk(a, b=None):
             pk, _, _, nm = pseudo_pofk_2d(a, b, L=L, n_k_bin=nb)
-            return pk.mean(axis=0), nm > 0
+            return pk, nm > 0  # pk: (N, nb)
 
-        pk_p, occ = mean_pk(pred)
-        pk_t, _ = mean_pk(truth)
+        pk_p, occ = sample_pk(pred)
+        pk_t, _ = sample_pk(truth)
+        pk_cp, _ = sample_pk(pred, dm)
+        pk_ct, _ = sample_pk(truth, dm)
+
+        if self.config.pk_loss_per_z:
+            # one masked batch-mean per training redshift (static list)
+            zs = jnp.asarray(list(self.training_data.redshifts),
+                             dtype=jnp.float32)
+            w = (z[None, :].astype(jnp.float32) == zs[:, None]).astype(
+                jnp.float32)                       # (n_z, N)
+            cnt = jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
+            mean = lambda pk: (w @ pk) / cnt       # (n_z, nb)
+            present = (w.sum(axis=1) > 0)[:, None]  # z's in this batch
+        else:
+            mean = lambda pk: pk.mean(axis=0, keepdims=True)  # (1, nb)
+            present = jnp.ones((1, 1), bool)
+
+        m_p, m_t = mean(pk_p), mean(pk_t)
+        m_cp, m_ct = mean(pk_cp), mean(pk_ct)
+        use = occ[None, :] & present
         # auto spectra are positive: squared log-ratio is scale-free across
         # the ~6 decades of P(k)
-        auto = jnp.where(occ, jnp.log(pk_p + 1e-30) - jnp.log(pk_t + 1e-30),
+        auto = jnp.where(use, jnp.log(m_p + 1e-30) - jnp.log(m_t + 1e-30),
                          0.0)
-        pk_cp, _ = mean_pk(pred, dm)
-        pk_ct, _ = mean_pk(truth, dm)
         # cross spectra are signed and pass through ~0 at high k where the
         # true correlation is weak - a log|.| there explodes and destroys
         # training (observed: cross error 0.04 -> 1.0); use the relative
         # error against |P_ct| instead, which anchors sign AND magnitude
-        cross = jnp.where(occ, (pk_cp - pk_ct)
-                          / (jnp.abs(pk_ct) + 1e-30), 0.0)
-        n = jnp.maximum(occ.sum(), 1)
+        cross = jnp.where(use, (m_cp - m_ct) / (jnp.abs(m_ct) + 1e-30), 0.0)
+        n = jnp.maximum(use.sum(), 1)
         return ((auto ** 2).sum() + (cross ** 2).sum()) / n
 
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,

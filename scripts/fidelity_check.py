@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def pk_errors(painter, ds, n_sample=16, seed=0, z=None):
+def pk_errors(painter, ds, n_sample=48, seed=0, z=None):
     import jax
     from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
 
@@ -74,6 +74,18 @@ def main():
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
                    help="restore the checkpoint from a previous run")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate the per-z P(k) gate every N training steps "
+                        "and keep the best-scoring parameters (the spectral "
+                        "objective oscillates near its minimum, so the final "
+                        "step is a lottery; select on the gate metric "
+                        "max_z max(auto, cross) instead)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore the checkpoint and report P(k) errors "
+                        "without training (implies --resume)")
+    p.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint base path to restore "
+                        "(default: <workdir>/fidelity_model_<model>)")
     p.add_argument("--save-figures", action="store_true",
                    help="save sample/P(k)/histogram figures from the trained "
                         "model into the workdir")
@@ -116,7 +128,8 @@ def main():
         trainer = CVAETrainer(
             CVAE(arch, dtype=jnp.bfloat16), train_ds,
             config=TrainConfig(seed=args.seed,
-                               pk_loss_weight=args.pk_loss_weight),
+                               pk_loss_weight=args.pk_loss_weight,
+                               pk_loss_per_z=args.pk_loss_weight > 0),
             device_data=True)
         make_painter = lambda: CVAEPainter.from_trainer(trainer)
     else:
@@ -132,10 +145,15 @@ def main():
                                                      batch_size=args.batch),
                               device_data=True)
         make_painter = lambda: CGANPainter.from_trainer(trainer)
-    ckpt_base = os.path.join(args.workdir, f"fidelity_model_{args.model}")
-    if args.resume and os.path.exists(ckpt_base + "_state.msgpack"):
+    ckpt_base = (args.checkpoint if args.checkpoint is not None
+                 else os.path.join(args.workdir,
+                                   f"fidelity_model_{args.model}"))
+    if ((args.resume or args.eval_only)
+            and os.path.exists(ckpt_base + "_state.msgpack")):
         trainer.restore(ckpt_base)
         print("restored checkpoint", file=sys.stderr, flush=True)
+    elif args.eval_only:
+        raise SystemExit(f"--eval-only: no checkpoint at {ckpt_base}")
     painter = make_painter()
 
     # warm the paint graph + baseline errors with untrained weights
@@ -147,16 +165,96 @@ def main():
     n_steps = args.n_samples // args.batch
     t0 = time.time()
     done = 0
+    # With the spectral aux loss on, balance every batch across redshifts
+    # (equal counts per z) so the per-z masked batch-mean P(k) the loss
+    # matches (TrainConfig.pk_loss_per_z) sees every z each step — a pooled
+    # mixed-z loss lets the model overshoot one z and undershoot another with
+    # a perfect z-averaged spectrum, and single-z steps thrash the optimizer
+    # with conflicting per-step gradients (both observed).
+    zs = list(train_ds.redshifts)
+    stratify = args.pk_loss_weight > 0
+    if stratify and args.batch % len(zs):
+        raise SystemExit(f"--batch {args.batch} must be divisible by "
+                         f"n_z={len(zs)} for the per-z spectral loss")
+
+    def step_indices(j):
+        if not stratify:
+            return train_ds.sample_indices(rng, args.batch)
+        per = args.batch // len(zs)
+        return np.concatenate([train_ds.sample_indices(rng, per, z=z)
+                               for z in zs])
+
+    if args.eval_only:
+        n_steps = 0
+
+    # reference-format training_stats.txt next to the checkpoint so trained
+    # artifacts ship with their loss history (trained_models/CVAE/fiducial/
+    # training_stats.txt layout; appended across --resume phases)
+    stats = None
+    if args.model == "cvae" and not args.eval_only:
+        from baryon_painter_tpu.train.stats import TrainingStats
+        labels = list(trainer.model.get_stats_labels())
+        # separate file per phase: the pk fine-tune adds a loss term, and a
+        # resumed TrainingStats requires an identical header
+        suffix = "_pkft" if args.pk_loss_weight > 0 else ""
+        if args.pk_loss_weight > 0:
+            labels.append("pk_loss")
+        stats_file = os.path.join(args.workdir,
+                                  f"training_stats_{args.model}{suffix}.txt")
+        stats = TrainingStats(labels, dump_to_file_frequency=200,
+                              stats_filename=stats_file,
+                              resume=args.resume and os.path.exists(stats_file))
+    sample_base = (stats.n_processed_samples[-1]
+                   if stats is not None and stats.n_processed_samples else 0)
+
+    def record(m, k, done):
+        if stats is None:
+            return
+        arrs = {key: np.asarray(v) for key, v in m.items()}
+        for i in range(k):
+            vals = [float(arrs["elbo"][i]), -float(arrs["kl"][i])]
+            vals += list(arrs["log_likelihood"][i].reshape(-1))
+            if "log_likelihood_fixed_var" in arrs:
+                vals += list(arrs["log_likelihood_fixed_var"][i].reshape(-1))
+                vals += list(arrs["log_likelihood_free_var"][i].reshape(-1))
+            if args.pk_loss_weight > 0:
+                vals.append(float(arrs["pk_loss"][i]))
+            stats.push_loss(sample_base + (done + i + 1) * args.batch, *vals)
+
+    def gate_metric():
+        """max over z of max(auto, cross) — the pass_5pct criterion."""
+        p = make_painter()
+        worst = 0.0
+        for z in val_ds.redshifts:
+            az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
+            worst = max(worst, az, cz)
+        return worst
+
+    best = (float("inf"), None)
+
+    def maybe_eval(done):
+        nonlocal best
+        if not args.eval_every or done % args.eval_every >= args.scan:
+            return
+        worst = gate_metric()
+        mark = ""
+        if worst < best[0]:
+            best = (worst, jax.device_get(trainer.state))
+            mark = "  <- best"
+        print(f"  eval @ {done}: gate max_z max(auto,cross) = "
+              f"{worst:.4f}{mark}", file=sys.stderr, flush=True)
+
     while done < n_steps:
         k = min(args.scan, n_steps - done)
-        idx = np.stack([train_ds.sample_indices(rng, args.batch)
-                        for _ in range(k)])
+        idx = np.stack([step_indices(done + j) for j in range(k)])
         # fiducial-style step decay over the run
         if args.model == "cvae":
             lr = args.lr * (0.5 ** (4 * done // n_steps))
             m = trainer.step_scan(idx, lr=lr, alpha_var=args.alpha_var,
                                   beta_KL=args.beta_kl)
+            record(m, k, done)
             done += k
+            maybe_eval(done)
         else:
             # CGAN: lr 5e-5 decayed 0.85 per 1568-sample pepoch
             pepoch = done * args.batch // 1568
@@ -170,7 +268,18 @@ def main():
             print(f"step {done}/{n_steps} elbo={elbo:.3e} "
                   f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
 
-    trainer.save(ckpt_base)
+    if not args.eval_only:
+        if args.eval_every and n_steps:
+            final = gate_metric()
+            print(f"  eval @ end: gate = {final:.4f} "
+                  f"(best seen {best[0]:.4f})", file=sys.stderr, flush=True)
+            if best[1] is not None and best[0] < final:
+                trainer.state = jax.device_put(best[1])
+                print("  restored best-gate parameters",
+                      file=sys.stderr, flush=True)
+        trainer.save(ckpt_base)
+        if stats is not None:
+            stats.flush_to_file()
     painter = make_painter()
     if args.save_figures:
         if trainer.test_data is None:
@@ -192,9 +301,11 @@ def main():
         "model": args.model,
         "auto_untrained": round(auto0, 4), "cross_untrained": round(cross0, 4),
         "auto": round(auto1, 4), "cross": round(cross1, 4),
-        "n_samples": args.n_samples, "tile": args.tile,
-        "train_seconds": round(dt, 1),
-        "samples_per_sec": round(args.n_samples / dt, 1),
+        "n_samples": 0 if args.eval_only else args.n_samples,
+        "tile": args.tile,
+        "train_seconds": 0.0 if args.eval_only else round(dt, 1),
+        "samples_per_sec": (0.0 if args.eval_only
+                            else round(args.n_samples / dt, 1)),
         "auto_clipped": round(diag1["auto_clipped"], 4),
         "mean_ratio": round(diag1["mean_ratio"], 4),
         "std_ratio": round(diag1["std_ratio"], 4),

@@ -52,6 +52,11 @@ def main():
     p.add_argument("--pk-loss-weight", type=float, default=None,
                    help="spectral auxiliary loss weight (see "
                         "TrainConfig.pk_loss_weight)")
+    p.add_argument("--pk-loss-per-z", action="store_true",
+                   help="per-redshift masked spectral loss instead of a "
+                        "pooled batch-mean (TrainConfig.pk_loss_per_z); "
+                        "the P(k) gate is per-z, a pooled loss can trade "
+                        "redshifts off against each other")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -135,6 +140,9 @@ def main():
     if args.pk_loss_weight is not None:
         overrides["pk_loss_weight"] = args.pk_loss_weight
         run_cfg.train["pk_loss_weight"] = args.pk_loss_weight
+    if args.pk_loss_per_z:
+        overrides["pk_loss_per_z"] = True
+        run_cfg.train["pk_loss_per_z"] = True
     cfg = run_cfg.build_train_config(**overrides)
 
     os.makedirs(args.output_path, exist_ok=True)

@@ -251,3 +251,37 @@ def test_resume_preserves_stats_history(tmp_path):
 
     with pytest.raises(ValueError):
         TrainingStats(["a", "c"], 3, stats_filename=fn, resume=True)
+
+
+def test_pk_loss_per_z_matches_manual_grouping(dataset, arch):
+    """pk_loss_per_z=True averages per-z masked batch-mean spectral errors;
+    with a batch drawn from a single z it must equal the pooled loss, and a
+    mixed-z batch must equal the mean of the single-z losses computed on the
+    same sub-batches through the pooled path."""
+    tr_pooled = make_trainer(dataset, arch, pk_loss_weight=1.0)
+    tr_perz = make_trainer(dataset, arch, pk_loss_weight=1.0,
+                           pk_loss_per_z=True)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    params = tr_pooled.state.params
+    bstats = tr_pooled.state.batch_stats
+
+    def loss(tr, batch):
+        return float(tr._pk_loss(params, bstats,
+                                 jnp.asarray(batch["input"]),
+                                 [jnp.asarray(l) for l in batch["labels"]],
+                                 jnp.asarray(batch["z"]), key))
+
+    # single-z batch: per-z == pooled
+    b0 = dataset.get_raw_batch(dataset.sample_indices(rng, 4, z=0.0))
+    assert loss(tr_perz, b0) == pytest.approx(loss(tr_pooled, b0), rel=1e-5)
+
+    # balanced mixed-z batch: per-z == mean of the per-z pooled losses
+    i0 = dataset.sample_indices(rng, 4, z=0.0)
+    i1 = dataset.sample_indices(rng, 4, z=1.0)
+    bmix = dataset.get_raw_batch(np.concatenate([i0, i1]))
+    b1 = dataset.get_raw_batch(i1)
+    b0 = dataset.get_raw_batch(i0)
+    expect = 0.5 * (loss(tr_pooled, b0) + loss(tr_pooled, b1))
+    assert loss(tr_perz, bmix) == pytest.approx(expect, rel=1e-4)
+    assert np.isfinite(loss(tr_perz, bmix))
