@@ -240,7 +240,10 @@ def main():
         mark = ""
         if worst < best[0]:
             best = (worst, jax.device_get(trainer.state))
-            mark = "  <- best"
+            # persist immediately: a tunnel drop mid-run must not lose the
+            # best state (observed: silent process death at step 1250)
+            trainer.save(ckpt_base + "_best")
+            mark = "  <- best (saved)"
         print(f"  eval @ {done}: gate max_z max(auto,cross) = "
               f"{worst:.4f}{mark}", file=sys.stderr, flush=True)
 
