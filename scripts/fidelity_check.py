@@ -231,6 +231,13 @@ def main():
         return worst
 
     best = (float("inf"), None)
+    if args.eval_every and args.resume and n_steps:
+        if os.path.exists(ckpt_base + "_state.msgpack"):
+            # seed the selection with the restored state's own gate score so
+            # a refinement run can never regress the saved best checkpoint
+            best = (gate_metric(), jax.device_get(trainer.state))
+            print(f"  eval @ start: gate = {best[0]:.4f} (selection floor)",
+                  file=sys.stderr, flush=True)
 
     def maybe_eval(done):
         nonlocal best
