@@ -64,6 +64,12 @@ class CGANTrainConfig:
     output_path: Optional[str] = None
     seed: int = 0
     verbose: bool = False
+    # Spectral auxiliary loss on the generator (train/spectral.py): matches
+    # the eval-mode painted batch-mean auto/cross P(k) to the truth's in
+    # physical space. Same knobs as TrainConfig.pk_loss_*.
+    pk_loss_weight: float = 0.0
+    pk_loss_n_bins: int = 12
+    pk_loss_per_z: bool = False
 
 
 class CGANTrainer:
@@ -185,9 +191,33 @@ class CGANTrainer:
                 y, z, fake_g, train=False)
             adv = -jnp.mean(jnp.log(p_fake + _EPS))
             perc = self._perc(fake_g, x)
-            return adv + self.config.lambda_perceptual * perc, (adv, perc)
+            loss = adv + self.config.lambda_perceptual * perc
+            pk = jnp.zeros(())
+            if self.config.pk_loss_weight > 0:
+                from baryon_painter_tpu.train.spectral import pk_fidelity_loss
+                # eval-mode generator output (EMA batch stats - the exact
+                # paint-time path), clamped to the truth's transformed range
+                # (+margin) so the exp in the inverse transform cannot
+                # overflow on early-training outliers
+                fake_e = self.generator.apply(
+                    {"params": g_params, "batch_stats": state.g_stats},
+                    y, z, train=False)
+                pred_t = fake_e[..., 0].astype(jnp.float32)
+                x0 = jax.lax.stop_gradient(x[..., 0].astype(jnp.float32))
+                pred_t = jnp.clip(pred_t, x0.min() - 1.0, x0.max() + 1.0)
+                f = self._label_field
+                pred = self._transforms[f].inverse(pred_t, self._stats[f], z)
+                pk = pk_fidelity_loss(
+                    pred, raw_label.astype(jnp.float32),
+                    raw_input.astype(jnp.float32),
+                    L=float(self.training_data.tile_L),
+                    n_bins=self.config.pk_loss_n_bins, z=z,
+                    redshifts=(list(self.training_data.redshifts)
+                               if self.config.pk_loss_per_z else None))
+                loss = loss + self.config.pk_loss_weight * pk
+            return loss, (adv, perc, pk)
 
-        (g_loss, (g_adv, g_perc)), g_grads = \
+        (g_loss, (g_adv, g_perc, g_pk)), g_grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
         g_dir, g_opt = self.optimizer.update(g_grads, state.g_opt,
                                              state.g_params)
@@ -198,7 +228,7 @@ class CGANTrainer:
             g_params=g_params, g_stats=g_mut["batch_stats"], g_opt=g_opt,
             d_params=d_params, d_stats=d_stats, d_opt=d_opt,
             step=state.step + 1)
-        metrics = {"loss_D": d_loss, "loss_G_adv": g_adv,
+        metrics = {"loss_D": d_loss, "loss_G_adv": g_adv, "pk_loss": g_pk,
                    "loss_G_perceptual": g_perc, "D_real": p_real_m,
                    "D_fake": p_fake_m}
         return new_state, metrics

@@ -230,8 +230,9 @@ class CVAETrainer:
 
     def _pk_loss(self, params, batch_stats, raw_input, raw_labels, z, rng):
         """Squared log-ratio of batch-mean auto+cross P(k), prior-sampled
-        painting vs truth, in physical space (the fidelity-gate metric)."""
-        from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
+        painting vs truth, in physical space (the fidelity-gate metric).
+        See train/spectral.py for the loss itself."""
+        from baryon_painter_tpu.train.spectral import pk_fidelity_loss
 
         x, y = self._prepare(raw_input, raw_labels, z)
         pred_t = self.model.apply(
@@ -246,45 +247,11 @@ class CVAETrainer:
         pred = self._transforms[field].inverse(pred_t, self._stats[field], z)
         truth = raw_labels[0].astype(jnp.float32)
         dm = raw_input.astype(jnp.float32)
-        L = float(self.training_data.tile_L)
-        nb = self.config.pk_loss_n_bins
-
-        def sample_pk(a, b=None):
-            pk, _, _, nm = pseudo_pofk_2d(a, b, L=L, n_k_bin=nb)
-            return pk, nm > 0  # pk: (N, nb)
-
-        pk_p, occ = sample_pk(pred)
-        pk_t, _ = sample_pk(truth)
-        pk_cp, _ = sample_pk(pred, dm)
-        pk_ct, _ = sample_pk(truth, dm)
-
-        if self.config.pk_loss_per_z:
-            # one masked batch-mean per training redshift (static list)
-            zs = jnp.asarray(list(self.training_data.redshifts),
-                             dtype=jnp.float32)
-            w = (z[None, :].astype(jnp.float32) == zs[:, None]).astype(
-                jnp.float32)                       # (n_z, N)
-            cnt = jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
-            mean = lambda pk: (w @ pk) / cnt       # (n_z, nb)
-            present = (w.sum(axis=1) > 0)[:, None]  # z's in this batch
-        else:
-            mean = lambda pk: pk.mean(axis=0, keepdims=True)  # (1, nb)
-            present = jnp.ones((1, 1), bool)
-
-        m_p, m_t = mean(pk_p), mean(pk_t)
-        m_cp, m_ct = mean(pk_cp), mean(pk_ct)
-        use = occ[None, :] & present
-        # auto spectra are positive: squared log-ratio is scale-free across
-        # the ~6 decades of P(k)
-        auto = jnp.where(use, jnp.log(m_p + 1e-30) - jnp.log(m_t + 1e-30),
-                         0.0)
-        # cross spectra are signed and pass through ~0 at high k where the
-        # true correlation is weak - a log|.| there explodes and destroys
-        # training (observed: cross error 0.04 -> 1.0); use the relative
-        # error against |P_ct| instead, which anchors sign AND magnitude
-        cross = jnp.where(use, (m_cp - m_ct) / (jnp.abs(m_ct) + 1e-30), 0.0)
-        n = jnp.maximum(use.sum(), 1)
-        return ((auto ** 2).sum() + (cross ** 2).sum()) / n
+        return pk_fidelity_loss(
+            pred, truth, dm, L=float(self.training_data.tile_L),
+            n_bins=self.config.pk_loss_n_bins, z=z,
+            redshifts=(list(self.training_data.redshifts)
+                       if self.config.pk_loss_per_z else None))
 
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
                          rng, lr, alpha_var, beta_KL):

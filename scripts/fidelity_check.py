@@ -141,8 +141,10 @@ def main():
         trainer = CGANTrainer(train_ds, test_data=val_ds,
                               generator=CGANGenerator(),
                               discriminator=CGANDiscriminator(),
-                              config=CGANTrainConfig(seed=args.seed,
-                                                     batch_size=args.batch),
+                              config=CGANTrainConfig(
+                                  seed=args.seed, batch_size=args.batch,
+                                  pk_loss_weight=args.pk_loss_weight,
+                                  pk_loss_per_z=args.pk_loss_weight > 0),
                               device_data=True)
         make_painter = lambda: CGANPainter.from_trainer(trainer)
     ckpt_base = (args.checkpoint if args.checkpoint is not None
@@ -266,12 +268,17 @@ def main():
             done += k
             maybe_eval(done)
         else:
-            # CGAN: lr 5e-5 decayed 0.85 per 1568-sample pepoch
-            pepoch = done * args.batch // 1568
-            lr = 5e-5 * (0.85 ** pepoch)
+            # CGAN: lr 5e-5 decayed 0.85 per 1568-sample pepoch; with the
+            # spectral fine-tune on, use --lr directly (no pepoch decay)
+            if args.pk_loss_weight > 0:
+                lr = args.lr
+            else:
+                pepoch = done * args.batch // 1568
+                lr = 5e-5 * (0.85 ** pepoch)
             m = trainer.step_scan(idx, lr=lr)
             m = {"elbo": m["loss_G_adv"]}
             done += k
+            maybe_eval(done)
         if done % (args.scan * 8) < args.scan:
             elbo = float(np.asarray(m["elbo"]).reshape(-1)[-1])
             rate = done * args.batch / (time.time() - t0)

@@ -185,3 +185,24 @@ def test_gan_train_loop_scan_and_validate(dataset, tmp_path):
 
     figs = tr.validate(validation_batch_size=2, seed=1)
     assert {"sample", "auto_power_spectrum", "log_histogram"} <= set(figs)
+
+
+def test_gan_spectral_loss_trains_and_reports(dataset):
+    """pk_loss_weight>0 adds a finite per-z spectral term to the generator
+    loss (train/spectral.py) and still updates both nets."""
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=4,
+                                            pk_loss_weight=1.0,
+                                            pk_loss_per_z=True))
+    rng = np.random.default_rng(0)
+    idx = np.concatenate([dataset.sample_indices(rng, 2, z=0.0),
+                          dataset.sample_indices(rng, 2, z=1.0)])
+    g0 = jax.tree.map(np.asarray, tr.state.g_params)
+    m = tr.step(dataset.get_raw_batch(idx), lr=1e-4)
+    pk = float(m["pk_loss"])
+    assert np.isfinite(pk) and pk > 0
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_params, g0))
+    assert max(changed) > 0
