@@ -14,9 +14,18 @@ array of sample-index digits (~200 bytes).
 
 Memory: stacks cost n_field * n_z * (n_100 + n_150) * n_grid^2 * 4 bytes.
 ``fits(dataset)`` estimates this against a budget; the trainer falls back to
-the host path when the cache does not fit (e.g. the full 11-redshift BAHAMAS
-set exceeds one chip's HBM; a multi-chip mesh shards it implicitly by z via
-the host fallback or an explicit per-z schedule).
+the host path when the cache does not fit on one chip.
+
+Mesh-sharded mode (``mesh=``): the stacks are sharded over the mesh's
+"data" axis along the redshift dimension, so a training set that exceeds
+one chip's HBM (the full 11-redshift BAHAMAS set, SURVEY datasets.py:157)
+lives distributed across the slice. The design keeps the data path free of
+collectives: redshift slots are assigned round-robin to devices (every
+device holds >= 1 real z; z's are replicated when devices outnumber
+redshifts), batches are assembled z-grouped per device
+(``sample_mesh_indices``), and the gather runs under ``shard_map`` with
+purely shard-local dynamic slices — the only cross-device traffic is the
+gradient psum the DP mesh already does.
 """
 from __future__ import annotations
 
@@ -45,15 +54,42 @@ def _dihedral_jnp(tile, perm):
     return jax.lax.switch(perm, branches, tile)
 
 
+def _slot_assignment(n_z: int, n_dev: int):
+    """Round-robin redshift→slot layout for z-sharding over n_dev devices.
+
+    Returns (slot_to_z, slab) where slot_to_z has length n_dev*slab,
+    slab = ceil(n_z / n_dev); device d owns slots [d*slab, (d+1)*slab).
+    Slot (d, j) holds z index d + j*n_dev when that exists; devices beyond
+    n_z replicate z = d % n_z in their first slot; remaining slots are
+    padding (-1). Every device holds at least one real redshift.
+    """
+    slab = max(1, -(-n_z // n_dev))
+    slot_to_z = []
+    for d in range(n_dev):
+        for j in range(slab):
+            z = d + j * n_dev
+            if z < n_z:
+                slot_to_z.append(z)
+            elif j == 0:
+                slot_to_z.append(d % n_z)  # replicate: device has no real z
+            else:
+                slot_to_z.append(-1)
+    return slot_to_z, slab
+
+
 class DeviceStackCache:
     def __init__(self, dataset: BahamasTileDataset,
                  dtype=jnp.float32, device=None,
-                 use_pallas="auto"):
+                 use_pallas="auto", mesh=None, mesh_axis: str = "data"):
         """``use_pallas`` selects the scalar-prefetch DMA gather kernel
         (ops/pallas_gather.py) over vmap'd dynamic slices; 'auto' enables it
         on TPU backends (measured 2.1x faster there, bit-exact). Mosaic
         requires the sliced minor dims to be 128-aligned, so tiles smaller
-        than the 128-lane register stay on the XLA path."""
+        than the 128-lane register stay on the XLA path.
+
+        ``mesh``: z-shard the stacks over ``mesh_axis`` (see module
+        docstring). Batches must then be assembled with
+        ``sample_mesh_indices`` (device-grouped, z-local rows)."""
         if use_pallas == "auto":
             use_pallas = (jax.default_backend() == "tpu"
                           and dataset.tile_size % 128 == 0)
@@ -61,83 +97,178 @@ class DeviceStackCache:
         self.dataset = dataset
         self.tile_size = dataset.tile_size
         self.n_label = len(dataset.label_fields)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         fields = dataset.fields
         zs = dataset.redshifts
 
+        if mesh is None:
+            z_order = list(range(len(zs)))
+            self._slab = len(zs)
+            self._n_dev = 1
+        else:
+            self._n_dev = mesh.shape[mesh_axis]
+            z_order, self._slab = _slot_assignment(len(zs), self._n_dev)
+        self._slot_to_z = np.asarray(z_order, np.int64)
+
         def stack_all(depth):
-            arr = np.stack([
-                np.stack([np.asarray(dataset.data[f][z][depth],
-                                     dtype=np.float32) for z in zs])
-                for f in fields])  # (F, Z, S, G, G)
+            one_z = lambda z: np.stack([
+                np.asarray(dataset.data[f][z][depth], dtype=np.float32)
+                for f in fields])  # (F, S, G, G)
+            zero = np.zeros_like(one_z(zs[0]))
+            arr = np.stack([one_z(zs[zi]) if zi >= 0 else zero
+                            for zi in z_order], axis=1)  # (F, slots, S, G, G)
             return jnp.asarray(arr, dtype=dtype)
 
         self.data100 = stack_all("100")
         self.data150 = stack_all("150")
-        if device is not None:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(mesh, P(None, mesh_axis))
+            self.data100 = jax.device_put(self.data100, spec)
+            self.data150 = jax.device_put(self.data150, spec)
+        elif device is not None:
             self.data100 = jax.device_put(self.data100, device)
             self.data150 = jax.device_put(self.data150, device)
-        self.z_values = jnp.asarray(dataset.redshifts, jnp.float32)
+        # z VALUE per slot (padding slots -> 0; never referenced by digits)
+        z_arr = np.asarray(dataset.redshifts, np.float32)
+        self.z_values = jnp.asarray(
+            np.where(self._slot_to_z >= 0,
+                     z_arr[np.maximum(self._slot_to_z, 0)], 0.0))
+        # per-device slot lookup: slot_of[d, z] = global slot holding z in
+        # device d's slab, or -1
+        n_slots = len(z_order)
+        slot_of = np.full((self._n_dev, len(zs)), -1, np.int64)
+        for s in range(n_slots - 1, -1, -1):  # earlier slot wins
+            if z_order[s] >= 0:
+                slot_of[s // self._slab, z_order[s]] = s
+        self._slot_of = slot_of
         self.input_scale = (slics_scale_factor(dataset.n_grid)
                             if dataset.scale_to_SLICS else 1.0)
 
     @staticmethod
-    def nbytes(dataset: BahamasTileDataset) -> int:
+    def nbytes(dataset: BahamasTileDataset, n_shards: int = 1) -> int:
+        """PER-DEVICE bytes; with n_shards > 1, the z axis is slab-sharded
+        (slab = ceil(n_z / n_shards) redshifts resident per device)."""
         f = len(dataset.fields)
         z = len(dataset.redshifts)
+        slab = max(1, -(-z // n_shards))
         s = dataset.n_stack_100 + dataset.n_stack_150
-        return f * z * s * dataset.n_grid ** 2 * 4
+        return f * slab * s * dataset.n_grid ** 2 * 4
 
     @classmethod
     def fits(cls, dataset: BahamasTileDataset,
-             budget_bytes: int = 8 * 1024 ** 3) -> bool:
-        return cls.nbytes(dataset) <= budget_bytes
+             budget_bytes: int = 8 * 1024 ** 3, n_shards: int = 1) -> bool:
+        return cls.nbytes(dataset, n_shards) <= budget_bytes
 
     # ------------------------------------------------------------------ #
 
     def digits(self, idx: np.ndarray) -> np.ndarray:
-        """Host-side decode of sample indices into (B, 9) int32 digits."""
+        """Host-side decode of sample indices into (B, 9) int32 digits.
+
+        The first digit is the z SLOT (== z index when unsharded). In
+        mesh-sharded mode rows must be device-grouped (sample_mesh_indices)
+        so each row's z resolves to a slot in its own device's slab."""
         s = self.dataset.scheme.decode(np.asarray(idx, dtype=np.int64))
         off = self.dataset.stack_offset
-        return np.stack([s.z, s.p100, s.p150, s.s100 + off, s.tx100, s.ty100,
-                         s.s150 + off, s.tx150, s.ty150],
+        if self._n_dev == 1:
+            z_slot = s.z
+        else:
+            b = len(s.z)
+            if b % self._n_dev:
+                raise ValueError(f"batch {b} not divisible by the "
+                                 f"{self._n_dev}-device mesh")
+            dev = np.arange(b) // (b // self._n_dev)
+            z_slot = self._slot_of[dev, s.z]
+            if (z_slot < 0).any():
+                bad = np.nonzero(z_slot < 0)[0][0]
+                raise ValueError(
+                    f"row {bad}: z index {s.z[bad]} is not resident on "
+                    f"device {dev[bad]} — assemble batches with "
+                    "sample_mesh_indices")
+        return np.stack([z_slot, s.p100, s.p150, s.s100 + off, s.tx100,
+                         s.ty100, s.s150 + off, s.tx150, s.ty150],
                         axis=-1).astype(np.int32)
+
+    def sample_mesh_indices(self, rng, batch_size: int) -> np.ndarray:
+        """Device-grouped batch: row block d references only redshifts
+        resident on mesh device d (uniform over its slab)."""
+        if batch_size % self._n_dev:
+            raise ValueError(f"batch {batch_size} not divisible by the "
+                             f"{self._n_dev}-device mesh")
+        per = batch_size // self._n_dev
+        zs = self.dataset.redshifts
+        out = []
+        for d in range(self._n_dev):
+            local = sorted({self._slot_to_z[s]
+                            for s in range(d * self._slab,
+                                           (d + 1) * self._slab)
+                            if self._slot_to_z[s] >= 0})
+            for zi in rng.choice(len(local), size=per):
+                out.append(self.dataset.sample_indices(
+                    rng, 1, z=zs[local[zi]]))
+        return np.concatenate(out)
+
+    def _gather_tiles(self, d100, d150, digits):
+        """(B, 9) digits -> (B, F, T, T) summed+transformed tiles, slicing
+        the given (local) stack arrays. digits[:, 0] must index d100's z
+        axis directly."""
+        t = self.tile_size
+        F = d100.shape[0]
+
+        if self.use_pallas:
+            from baryon_painter_tpu.ops.pallas_gather import \
+                gather_tiles_pallas
+            interpret = jax.default_backend() == "cpu"
+            return gather_tiles_pallas(d100, d150, jnp.asarray(digits), t,
+                                       interpret=interpret).astype(
+                                           jnp.float32)
+
+        def one(d):
+            z_i, p100, p150 = d[0], d[1], d[2]
+            tile100 = jax.lax.dynamic_slice(
+                d100, (0, z_i, d[3], d[4] * t, d[5] * t),
+                (F, 1, 1, t, t))[:, 0, 0]
+            tile150 = jax.lax.dynamic_slice(
+                d150, (0, z_i, d[6], d[7] * t, d[8] * t),
+                (F, 1, 1, t, t))[:, 0, 0]
+            tile100 = _dihedral_jnp(tile100, p100)
+            tile150 = _dihedral_jnp(tile150, p150)
+            return (tile100 + tile150).astype(jnp.float32)
+
+        return jax.vmap(one)(jnp.asarray(digits))  # (B, F, T, T)
 
     def gather(self, digits):
         """(B, 9) digits -> (input (B,T,T) f32, labels (n_label,B,T,T), z (B,)).
 
         Pure jnp; call inside jit. Gathers both depths for all fields with
         two dynamic slices per sample, applies per-depth dihedral transforms,
-        sums, and applies the SLICS input scaling.
+        sums, and applies the SLICS input scaling. In mesh-sharded mode the
+        tile gather runs under shard_map with shard-local slices only: each
+        device re-bases the z slot into its slab and slices its local block.
         """
-        t = self.tile_size
-        F = self.data100.shape[0]
+        digits = jnp.asarray(digits)
+        if self.mesh is None:
+            tiles = self._gather_tiles(self.data100, self.data150, digits)
+        else:
+            try:
+                from jax import shard_map
+            except ImportError:  # jax < 0.8
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh_axis
+            slab = self._slab
 
-        if self.use_pallas:
-            from baryon_painter_tpu.ops.pallas_gather import \
-                gather_tiles_pallas
-            interpret = jax.default_backend() == "cpu"
-            tiles = gather_tiles_pallas(self.data100, self.data150,
-                                        jnp.asarray(digits), t,
-                                        interpret=interpret)
-            tiles = tiles.astype(jnp.float32)
-            zs = self.z_values[digits[:, 0]]
-            inputs = tiles[:, 0] * self.input_scale
-            labels = jnp.moveaxis(tiles[:, 1:], 1, 0)
-            return inputs, labels, zs
+            def body(d100, d150, dig):
+                lo = jax.lax.axis_index(ax) * slab
+                dig = dig.at[:, 0].add(-lo)
+                return self._gather_tiles(d100, d150, dig)
 
-        def one(d):
-            z_i, p100, p150 = d[0], d[1], d[2]
-            tile100 = jax.lax.dynamic_slice(
-                self.data100, (0, z_i, d[3], d[4] * t, d[5] * t),
-                (F, 1, 1, t, t))[:, 0, 0]
-            tile150 = jax.lax.dynamic_slice(
-                self.data150, (0, z_i, d[6], d[7] * t, d[8] * t),
-                (F, 1, 1, t, t))[:, 0, 0]
-            tile100 = _dihedral_jnp(tile100, p100)
-            tile150 = _dihedral_jnp(tile150, p150)
-            return (tile100 + tile150).astype(jnp.float32)
+            tiles = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(None, ax), P(None, ax), P(ax)),
+                out_specs=P(ax))(self.data100, self.data150, digits)
 
-        tiles = jax.vmap(one)(jnp.asarray(digits))  # (B, F, T, T)
         zs = self.z_values[digits[:, 0]]
         inputs = tiles[:, 0] * self.input_scale
         labels = jnp.moveaxis(tiles[:, 1:], 1, 0)  # (n_label, B, T, T)

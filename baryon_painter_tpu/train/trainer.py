@@ -186,17 +186,21 @@ class CVAETrainer:
         self.device_cache = None
         if device_data:
             from baryon_painter_tpu.data.device_cache import DeviceStackCache
+            n_shards = mesh.shape["data"] if mesh is not None else 1
             if not DeviceStackCache.fits(
-                    training_data, config.device_cache_budget_bytes):
+                    training_data, config.device_cache_budget_bytes,
+                    n_shards=n_shards):
                 import warnings
                 warnings.warn(
                     f"device_data=True but the stacks need "
-                    f"{DeviceStackCache.nbytes(training_data) / 2**30:.1f} GiB"
-                    f" (> budget {config.device_cache_budget_bytes / 2**30:.1f}"
+                    f"{DeviceStackCache.nbytes(training_data, n_shards) / 2**30:.1f}"
+                    f" GiB/device (> budget "
+                    f"{config.device_cache_budget_bytes / 2**30:.1f}"
                     " GiB); falling back to the host batch path.",
                     stacklevel=3)
             else:
-                self.device_cache = DeviceStackCache(training_data)
+                self.device_cache = DeviceStackCache(training_data,
+                                                     mesh=mesh)
                 self._train_step_digits = jax.jit(
                     self._train_step_digits_impl, donate_argnums=(0,))
                 self._train_scan = jax.jit(self._train_scan_impl,
@@ -352,6 +356,13 @@ class CVAETrainer:
             self.state, digits, step_rng, jnp.float32(lr),
             jnp.float32(alpha_var), jnp.float32(beta_KL))
         return metrics
+
+    def _sample_indices(self, rng, n: int) -> np.ndarray:
+        """Batch sampling for the fused path: device-grouped z-local rows
+        when the device cache is mesh-sharded, plain sampling otherwise."""
+        if self.device_cache is not None and self.device_cache.mesh is not None:
+            return self.device_cache.sample_mesh_indices(rng, n)
+        return self.training_data.sample_indices(rng, n)
 
     def step_scan(self, idx_matrix: np.ndarray, lr, alpha_var=1.0,
                   beta_KL=1.0):
@@ -516,7 +527,7 @@ class CVAETrainer:
                 # compiled scan lengths to log2(stats_sync_every)+1
                 k = 1 << (k.bit_length() - 1)
                 idx_matrix = np.stack(
-                    [ds.sample_indices(data_rng, batch_size)
+                    [self._sample_indices(data_rng, batch_size)
                      for _ in range(k)])
                 metrics_k = self.step_scan(idx_matrix, lr=lr,
                                            alpha_var=alpha_var,

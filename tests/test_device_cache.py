@@ -114,3 +114,104 @@ def test_trainer_falls_back_when_cache_does_not_fit(dataset):
     assert tr.device_cache is None
     m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=1e-3)
     assert np.isfinite(float(m["elbo"]))
+
+
+# ---- mesh-sharded cache (z-sharded stacks, shard-local gather) --------- #
+
+def _mesh8():
+    from jax.sharding import Mesh
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest should provide 8 CPU devices"
+    return Mesh(devices, axis_names=("data",))
+
+
+def test_slot_assignment_layouts():
+    from baryon_painter_tpu.data.device_cache import _slot_assignment
+    # 11 z over 8 devices: round-robin, first 3 devices hold 2 z's
+    slots, slab = _slot_assignment(11, 8)
+    assert slab == 2 and len(slots) == 16
+    for d in range(8):
+        local = [z for z in slots[d * slab:(d + 1) * slab] if z >= 0]
+        assert len(local) >= 1
+    assert sorted(z for z in slots if z >= 0) == list(range(11))
+    # fewer z than devices: replication, every device has exactly one
+    slots, slab = _slot_assignment(3, 8)
+    assert slab == 1 and [z for z in slots] == [0, 1, 2, 0, 1, 2, 0, 1]
+    # exact division: no padding, no replication
+    slots, slab = _slot_assignment(8, 8)
+    assert slab == 1 and slots == list(range(8))
+
+
+def test_mesh_sharded_gather_matches_replicated(dataset):
+    """Sharded gather (shard_map, z-local slices) must be bit-equal to the
+    single-device cache on the same device-grouped batch."""
+    mesh = _mesh8()
+    cache_sh = DeviceStackCache(dataset, mesh=mesh)
+    cache_1 = DeviceStackCache(dataset)
+    rng = np.random.default_rng(1)
+    idx = cache_sh.sample_mesh_indices(rng, 16)
+
+    g_sh = jax.jit(cache_sh.gather)(cache_sh.digits(idx))
+    g_1 = jax.jit(cache_1.gather)(cache_1.digits(idx))
+    for a, b, name in zip(g_sh, g_1, ("input", "labels", "z")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_mesh_sharded_gather_rejects_nonlocal_z(dataset):
+    mesh = _mesh8()
+    cache_sh = DeviceStackCache(dataset, mesh=mesh)
+    rng = np.random.default_rng(2)
+    # all rows z=0.0: devices whose slab lacks z index 0 must raise
+    idx = dataset.sample_indices(rng, 16, z=0.0)
+    with pytest.raises(ValueError, match="not resident"):
+        cache_sh.digits(idx)
+
+
+def test_mesh_sharded_trainer_matches_single_device(dataset):
+    """A fused scan step through the z-sharded cache on the 8-device mesh
+    must match the single-device cache step on the same batch."""
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    mesh = _mesh8()
+
+    def build(mesh_arg):
+        return CVAETrainer(CVAE(arch), dataset,
+                           config=TrainConfig(seed=0), mesh=mesh_arg,
+                           device_data=True)
+
+    tr_1 = build(None)
+    tr_sh = build(mesh)
+    assert tr_sh.device_cache is not None and tr_sh.device_cache.mesh is mesh
+
+    rng = np.random.default_rng(3)
+    idx = np.stack([tr_sh._sample_indices(rng, 16) for _ in range(2)])
+    m_1 = tr_1.step_scan(idx, lr=1e-3)
+    m_sh = tr_sh.step_scan(idx, lr=1e-3)
+    np.testing.assert_allclose(np.asarray(m_1["elbo"]),
+                               np.asarray(m_sh["elbo"]), rtol=2e-4)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_1.state.params)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(tr_sh.state.params)])
+    assert np.max(np.abs(a - b)) < 5e-3  # adam sign-flip noise, 2 steps
+
+
+def test_mesh_budget_uses_per_device_bytes(dataset):
+    """A set exceeding one chip's budget but fitting per-shard constructs
+    the sharded cache; the same budget without a mesh falls back."""
+    per_dev = DeviceStackCache.nbytes(dataset, n_shards=8)
+    total = DeviceStackCache.nbytes(dataset)
+    assert per_dev < total
+    budget = per_dev + 1
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    with pytest.warns(UserWarning, match="falling back"):
+        tr = CVAETrainer(CVAE(arch), dataset,
+                         config=TrainConfig(seed=0,
+                                            device_cache_budget_bytes=budget),
+                         device_data=True)
+    assert tr.device_cache is None
+    tr_sh = CVAETrainer(CVAE(arch), dataset,
+                        config=TrainConfig(seed=0,
+                                           device_cache_budget_bytes=budget),
+                        mesh=_mesh8(), device_data=True)
+    assert tr_sh.device_cache is not None
