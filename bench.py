@@ -117,8 +117,8 @@ def main():
     except Exception as e:  # cost_analysis is backend-dependent
         log(f"cost_analysis unavailable: {e}")
         flops_per_step = float("nan")
-    peak = {"TPU v5 lite": 197e12}.get(
-        jax.devices()[0].device_kind, float("nan"))  # bf16 peak FLOP/s
+    from baryon_painter_tpu.utils.profiling import device_peak_flops
+    peak = device_peak_flops(jax.devices()[0])  # bf16 peak FLOP/s
     mfu = flops_per_step / (dt / n_steps) / peak
     log(f"model flops/step={flops_per_step:.3e}  peak={peak:.0e}  "
         f"MFU={100 * mfu:.1f}%")

@@ -55,10 +55,19 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cvae", choices=["cvae", "cgan"])
     p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--redshifts", default="0,0.5,1",
+                   help="comma-separated training/eval redshifts (the "
+                        "reference fiducial uses 11: "
+                        "0,0.125,0.25,0.375,0.5,0.75,1,1.25,1.5,1.75,2)")
+    p.add_argument("--n-stack", type=int, default=4,
+                   help="synthetic stacks per (field, z, depth); the first "
+                        "is held out for validation")
     p.add_argument("--n-samples", type=int, default=30000)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--scan", type=int, default=25)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=None,
+                   help="base learning rate (default: 1e-3 for the CVAE, "
+                        "5e-5 for the CGAN — the reference values)")
     p.add_argument("--beta-kl", type=float, default=1.0,
                    help="KL weight; >1 forces the posterior toward the prior "
                         "(useful when the conditional is nearly deterministic)")
@@ -90,6 +99,11 @@ def main():
                    help="save sample/P(k)/histogram figures from the trained "
                         "model into the workdir")
     args = p.parse_args()
+    if args.lr is None:
+        # per-model defaults (ADVICE r2: the CVAE's 1e-3 destabilizes the
+        # CGAN, whose reference lr is 5e-5, trained_models/README.md:130-139)
+        args.lr = 1e-3 if args.model == "cvae" else 5e-5
+    redshifts = tuple(float(s) for s in args.redshifts.split(","))
 
     import jax
 
@@ -107,15 +121,15 @@ def main():
     from baryon_painter_tpu.transforms import RangeCompress
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    info = make_synthetic_stacks(args.workdir, n_stack=4,
+    info = make_synthetic_stacks(args.workdir, n_stack=args.n_stack,
                                  n_grid=2 * args.tile,
-                                 redshifts=(0.0, 0.5, 1.0), seed=args.seed,
+                                 redshifts=redshifts, seed=args.seed,
                                  name="fid", pressure_noise=args.pressure_noise)
     transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
                   "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
     train_ds = BahamasTileDataset(files=load_file_info(info),
                                   root_path=args.workdir, n_tile=2,
-                                  n_stack=3, stack_offset=1,
+                                  n_stack=args.n_stack - 1, stack_offset=1,
                                   tile_permutations=True,
                                   transforms=transforms)
     val_ds = BahamasTileDataset(data=train_ds.data, n_stack=1,
@@ -156,6 +170,14 @@ def main():
         print("restored checkpoint", file=sys.stderr, flush=True)
     elif args.eval_only:
         raise SystemExit(f"--eval-only: no checkpoint at {ckpt_base}")
+    elif (args.checkpoint is not None
+          and os.path.exists(ckpt_base + "_state.msgpack")):
+        # ADVICE r2: a fresh run must not silently clobber a named existing
+        # checkpoint — restoring is opt-in via --resume/--eval-only
+        raise SystemExit(
+            f"checkpoint {ckpt_base} exists; pass --resume to continue from "
+            f"it or --eval-only to score it (refusing to overwrite with a "
+            f"fresh-seed run)")
     painter = make_painter()
 
     # warm the paint graph + baseline errors with untrained weights

@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Per-segment roofline breakdown of the fused CVAE train step.
+
+jax.profiler traces hang over the network-attached chip (ROUNDLOG), so this
+measures the step the way that does work here: each segment is jitted and
+timed standalone (steady-state median over repeats), and every compiled
+segment reports XLA cost_analysis flops + bytes accessed so achieved
+bandwidth / MFU can be read off directly.
+
+Segments:
+  gather      device-cache digit gather (raw tiles from HBM stacks)
+  prepare     shift-log transforms + NHWC shaping
+  forward     full CVAE ELBO forward (train mode)
+  fwd+bwd     value_and_grad of the ELBO
+  update      adam update from precomputed grads
+  step        one full fused train step (gather+fwd+bwd+update)
+  scan25      the 25-step scan the trainer actually dispatches
+
+Writes a JSON report (--out) and prints a table to stderr.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bpt_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+
+
+def cost_of(compiled):
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", float("nan"))), \
+            float(c.get("bytes accessed", float("nan")))
+    except Exception as e:
+        log(f"  cost_analysis failed: {e}")
+        return float("nan"), float("nan")
+
+
+def bench(fn, args, n=20, warmup=3):
+    """Median wall time of fn(*args) with blocking, plus cost analysis."""
+    import jax
+    jfn = jax.jit(fn)
+    lowered = jfn.lower(*args)
+    compiled = lowered.compile()
+    flops, bytes_acc = cost_of(compiled)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        jax.block_until_ready(jfn(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), flops, bytes_acc
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--out", default="docs/roofline_r03.json")
+    p.add_argument("--repeats", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cvae import CVAE, fiducial_cvae_architecture
+    from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    from baryon_painter_tpu.utils.profiling import (device_peak_bandwidth,
+                                                    device_peak_flops)
+    dev = jax.devices()[0]
+    kind = dev.device_kind
+    peak_f = device_peak_flops(dev)
+    peak_b = device_peak_bandwidth(dev)
+    log(f"device: {dev} kind={kind} peak={peak_f:.3g} FLOP/s "
+        f"bw={peak_b:.3g} B/s")
+
+    import tempfile
+    root = tempfile.mkdtemp()
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=2 * args.tile,
+                                 redshifts=(0.0, 1.0), seed=0)
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        tile_permutations=True,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
+    trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), ds,
+                          config=TrainConfig(seed=0), device_data=True)
+
+    rng = np.random.default_rng(1)
+    B = args.batch
+    digits = jnp.asarray(trainer.device_cache.digits(
+        ds.sample_indices(rng, B)))
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+    one = jnp.float32(1.0)
+
+    results = {}
+
+    def run(name, fn, fargs, n=None):
+        t, fl, by = bench(fn, fargs, n=n or args.repeats)
+        results[name] = {
+            "ms": round(t * 1e3, 3),
+            "gflops": None if np.isnan(fl) else round(fl / 1e9, 2),
+            "mbytes": None if np.isnan(by) else round(by / 1e6, 1),
+            "mfu_pct": None if np.isnan(fl) else round(100 * fl / t / peak_f, 2),
+            "bw_pct": None if np.isnan(by) else round(100 * by / t / peak_b, 1),
+        }
+        r = results[name]
+        log(f"{name:>10s}: {r['ms']:8.2f} ms  flops={r['gflops']} G  "
+            f"bytes={r['mbytes']} MB  MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
+        return t
+
+    # --- gather ---------------------------------------------------------- #
+    cache = trainer.device_cache
+    run("gather", lambda d: cache.gather(d), (digits,))
+
+    raw_input, raw_labels, z = jax.jit(cache.gather)(digits)
+    raw_input, raw_labels, z = (jax.block_until_ready(raw_input),
+                                jax.block_until_ready(raw_labels),
+                                jax.block_until_ready(z))
+
+    # --- prepare (transforms) -------------------------------------------- #
+    run("prepare", lambda ri, rl, zz: trainer._prepare(ri, rl, zz),
+        (raw_input, raw_labels, z))
+
+    x, y = jax.jit(trainer._prepare)(raw_input, raw_labels, z)
+    x, y = jax.block_until_ready(x), jax.block_until_ready(y)
+
+    # --- forward (ELBO, train mode) --------------------------------------- #
+    state = trainer.state
+
+    def fwd(params, bstats, xx, yy, zz, k):
+        out, _ = trainer.model.apply(
+            {"params": params, "batch_stats": bstats}, xx, yy, zz,
+            alpha_var=1.0, beta_KL=1.0, train=True, rngs={"sample": k},
+            mutable=["batch_stats"])
+        return out["elbo"]
+
+    run("forward", fwd, (state.params, state.batch_stats, x, y, z, key))
+
+    # --- forward subnets --------------------------------------------------- #
+    def q_only(params, bstats, xx, yy, zz):
+        def f(m, xx, yy, zz):
+            return m.Q(xx, yy, zz, train=True)
+        out, _ = trainer.model.apply(
+            {"params": params, "batch_stats": bstats}, xx, yy, zz,
+            train=True, method=f, mutable=["batch_stats"])
+        return out
+
+    run("Q_net", q_only, (state.params, state.batch_stats, x, y, z))
+
+    def prior_only(params, bstats, yy, zz):
+        def f(m, yy, zz):
+            return m.prior(yy, zz, train=True)
+        out, _ = trainer.model.apply(
+            {"params": params, "batch_stats": bstats}, yy, zz,
+            train=True, method=f, mutable=["batch_stats"])
+        return out
+
+    run("prior_net", prior_only, (state.params, state.batch_stats, y, z))
+
+    zmu, zlv = jax.jit(lambda p, b, xx, yy, zz: q_only(p, b, xx, yy, zz))(
+        state.params, state.batch_stats, x, y, z)
+    zlat = jax.block_until_ready(
+        jax.jit(lambda k, m, v: trainer.model.apply(
+            {"params": state.params}, k, m.astype(jnp.float32),
+            v.astype(jnp.float32), method=trainer.model.sample_z))(
+                key, zmu, zlv))
+
+    def p_only(params, bstats, zl, yy, zz):
+        def f(m, zl, yy, zz):
+            return m.P(zl, yy, zz, train=True)
+        out, _ = trainer.model.apply(
+            {"params": params, "batch_stats": bstats}, zl, yy, zz,
+            train=True, method=f, mutable=["batch_stats"])
+        return out
+
+    run("P_net", p_only, (state.params, state.batch_stats, zlat, y, z))
+
+    # --- fwd+bwd ----------------------------------------------------------- #
+    def fwd_bwd(params, bstats, xx, yy, zz, k):
+        def loss(p):
+            return fwd(p, bstats, xx, yy, zz, k)
+        l, g = jax.value_and_grad(loss)(params)
+        return l, g
+
+    run("fwd+bwd", fwd_bwd, (state.params, state.batch_stats, x, y, z, key))
+
+    # --- optimizer update -------------------------------------------------- #
+    _, grads = jax.jit(fwd_bwd)(state.params, state.batch_stats, x, y, z, key)
+    grads = jax.block_until_ready(grads)
+
+    def upd(g, os_, params):
+        d, os2 = trainer.optimizer.update(g, os_, params)
+        import optax
+        d = jax.tree.map(lambda u: lr * u, d)
+        return optax.apply_updates(params, d), os2
+
+    run("update", upd, (grads, state.opt_state, state.params))
+
+    # --- full single step --------------------------------------------------- #
+    def full_step(st, d, k):
+        return trainer._train_step_digits_impl(st, d, k, lr, one, one)
+
+    run("step", full_step, (state, digits, key))
+
+    # --- the 25-step scan (what the trainer dispatches) --------------------- #
+    K = 25
+    digits_k = jnp.asarray(np.stack(
+        [trainer.device_cache.digits(ds.sample_indices(rng, B))
+         for _ in range(K)]))
+    steps = jnp.arange(K)
+    ones_k = jnp.ones((K,), jnp.float32)
+
+    def scan_fn(st, dk, sk, k):
+        return trainer._train_scan_impl(st, (dk, sk), k, ones_k * 1e-3,
+                                        ones_k, ones_k)
+
+    t_scan, fl, by = bench(scan_fn, (state, digits_k, steps, key),
+                           n=max(3, args.repeats // 4))
+    results["scan25"] = {
+        "ms": round(t_scan * 1e3, 2),
+        "ms_per_step": round(t_scan / K * 1e3, 3),
+        "gflops_per_step": None if np.isnan(fl) else round(fl / K / 1e9, 2),
+        "mbytes_per_step": None if np.isnan(by) else round(by / K / 1e6, 1),
+        "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_scan / peak_f, 2),
+        "bw_pct": None if np.isnan(by) else round(100 * by / t_scan / peak_b, 1),
+    }
+    r = results["scan25"]
+    log(f"{'scan25':>10s}: {r['ms_per_step']:8.2f} ms/step  "
+        f"flops/step={r['gflops_per_step']} G  bytes/step={r['mbytes_per_step']} MB  "
+        f"MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
+
+    report = {"device_kind": kind, "tile": args.tile, "batch": B,
+              "peak_flops": peak_f, "peak_bw": peak_b,
+              "conv_rewrites": os.environ.get(
+                  "BPT_DISABLE_CONV_REWRITES", "0") != "1",
+              "segments": results}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    log(f"wrote {args.out}")
+    print(json.dumps({"metric": "roofline_step_ms",
+                      "value": results["scan25"]["ms_per_step"],
+                      "unit": "ms/step",
+                      "mfu_pct": results["scan25"]["mfu_pct"],
+                      "bw_pct": results["scan25"]["bw_pct"]}))
+
+
+if __name__ == "__main__":
+    main()

