@@ -42,18 +42,6 @@ from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
 __all__ = ["DeviceStackCache"]
 
 
-def _dihedral_jnp(tile, perm):
-    """Dihedral transform of (..., H, W) by traced perm in [0, 8);
-    perm = rot*2 + flip (same convention as data/indexing.py)."""
-    def make(rot, flip):
-        def f(t):
-            out = jnp.rot90(t, k=rot, axes=(-2, -1)) if rot else t
-            return out[..., ::-1] if flip else out
-        return f
-    branches = [make(r, f) for r in range(4) for f in range(2)]
-    return jax.lax.switch(perm, branches, tile)
-
-
 def _slot_assignment(n_z: int, n_dev: int):
     """Round-robin redshift→slot layout for z-sharding over n_dev devices.
 
@@ -212,33 +200,54 @@ class DeviceStackCache:
     def _gather_tiles(self, d100, d150, digits):
         """(B, 9) digits -> (B, F, T, T) summed+transformed tiles, slicing
         the given (local) stack arrays. digits[:, 0] must index d100's z
-        axis directly."""
+        axis directly.
+
+        Both paths gather the raw per-depth tiles first and apply the
+        per-sample dihedral with the BATCHED transpose/reverse decomposition
+        (ops/pallas_gather.dihedral_batch): a vmap'd lax.switch materializes
+        all 8 branches under a batched predicate, and in-kernel MXU flips
+        burn T^3 flops — both measured 10-30x slower at 512^2."""
+        from baryon_painter_tpu.ops.pallas_gather import dihedral_batch
         t = self.tile_size
         F = d100.shape[0]
+        digits = jnp.asarray(digits)
 
         if self.use_pallas:
             from baryon_painter_tpu.ops.pallas_gather import \
                 gather_tiles_pallas
             interpret = jax.default_backend() == "cpu"
-            return gather_tiles_pallas(d100, d150, jnp.asarray(digits), t,
-                                       interpret=interpret).astype(
-                                           jnp.float32)
+            both = gather_tiles_pallas(d100, d150, digits, t,
+                                       interpret=interpret)
+            t100, t150 = both[:, 0], both[:, 1]
+        else:
+            def one(d):
+                z_i = d[0]
+                tile100 = jax.lax.dynamic_slice(
+                    d100, (0, z_i, d[3], d[4] * t, d[5] * t),
+                    (F, 1, 1, t, t))[:, 0, 0]
+                tile150 = jax.lax.dynamic_slice(
+                    d150, (0, z_i, d[6], d[7] * t, d[8] * t),
+                    (F, 1, 1, t, t))[:, 0, 0]
+                return tile100, tile150
 
-        def one(d):
-            z_i, p100, p150 = d[0], d[1], d[2]
-            tile100 = jax.lax.dynamic_slice(
-                d100, (0, z_i, d[3], d[4] * t, d[5] * t),
-                (F, 1, 1, t, t))[:, 0, 0]
-            tile150 = jax.lax.dynamic_slice(
-                d150, (0, z_i, d[6], d[7] * t, d[8] * t),
-                (F, 1, 1, t, t))[:, 0, 0]
-            tile100 = _dihedral_jnp(tile100, p100)
-            tile150 = _dihedral_jnp(tile150, p150)
-            return (tile100 + tile150).astype(jnp.float32)
+            t100, t150 = jax.vmap(one)(digits)
 
-        return jax.vmap(one)(jnp.asarray(digits))  # (B, F, T, T)
+        t100 = dihedral_batch(t100, digits[:, 1])
+        t150 = dihedral_batch(t150, digits[:, 2])
+        return (t100 + t150).astype(jnp.float32)
 
-    def gather(self, digits):
+    @property
+    def stacks(self):
+        """The HBM-resident stack arrays as a pytree, to be passed as an
+        EXPLICIT argument into jit'd functions that call ``gather``.
+
+        Closing over the device arrays instead bakes them into the jaxpr as
+        constants: lowering then fetches the full cache back to host to embed
+        it in the MLIR module (seconds-to-minutes over a network-attached
+        chip, and GB-scale HLO at the 11-redshift 512^2 scale)."""
+        return (self.data100, self.data150)
+
+    def gather(self, digits, stacks=None):
         """(B, 9) digits -> (input (B,T,T) f32, labels (n_label,B,T,T), z (B,)).
 
         Pure jnp; call inside jit. Gathers both depths for all fields with
@@ -246,10 +255,16 @@ class DeviceStackCache:
         sums, and applies the SLICS input scaling. In mesh-sharded mode the
         tile gather runs under shard_map with shard-local slices only: each
         device re-bases the z slot into its slab and slices its local block.
+
+        ``stacks``: pass ``cache.stacks`` through the enclosing jit's
+        arguments (see the ``stacks`` property); defaults to the cached
+        device arrays for eager/one-off use.
         """
         digits = jnp.asarray(digits)
+        data100, data150 = (self.data100, self.data150) \
+            if stacks is None else stacks
         if self.mesh is None:
-            tiles = self._gather_tiles(self.data100, self.data150, digits)
+            tiles = self._gather_tiles(data100, data150, digits)
         else:
             try:
                 from jax import shard_map
@@ -267,7 +282,7 @@ class DeviceStackCache:
             tiles = shard_map(
                 body, mesh=self.mesh,
                 in_specs=(P(None, ax), P(None, ax), P(ax)),
-                out_specs=P(ax))(self.data100, self.data150, digits)
+                out_specs=P(ax))(data100, data150, digits)
 
         zs = self.z_values[digits[:, 0]]
         inputs = tiles[:, 0] * self.input_scale

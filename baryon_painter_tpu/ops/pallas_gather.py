@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_tiles_pallas", "dihedral_vmem"]
+__all__ = ["gather_tiles_pallas", "dihedral_vmem", "dihedral_batch"]
 
 
 def dihedral_vmem(tile, perm):
@@ -74,12 +74,36 @@ def dihedral_mxu(tile, perm):
     return jax.lax.switch(perm, branches, tile)
 
 
+def dihedral_batch(x, perm):
+    """Batched dihedral transform of (B, ..., T, T) by perm (B,) in [0, 8).
+
+    Decomposes rot90^rot . flip^flip (the data/indexing.dihedral_transform
+    convention, perm = rot*2 + flip) into at most one transpose + two
+    axis reversals,
+    selected per sample with jnp.where. This is the fast way to apply a
+    PER-SAMPLE dihedral in XLA: a vmap'd lax.switch over a batched predicate
+    lowers to a select over ALL 8 fully-materialized branches (8x the
+    traffic), and an MXU anti-identity matmul (dihedral_mxu) burns
+    T^3 flops per flip — measured 35 ms/step at 512^2 against ~1 ms here.
+    """
+    rot = perm // 2
+    flip = perm % 2
+    extra = x.ndim - 1
+    bshape = (-1,) + (1,) * extra
+    tr = ((rot % 2) == 1).reshape(bshape)
+    s = ((rot == 1) | (rot == 2)).reshape(bshape)
+    r = ((flip == 1) ^ (rot >= 2)).reshape(bshape)
+    x = jnp.where(tr, x.swapaxes(-1, -2), x)
+    x = jnp.where(s, x[..., ::-1, :], x)
+    x = jnp.where(r, x[..., :, ::-1], x)
+    return x
+
+
 def _gather_kernel(tile_size, digits_ref, d100_ref, d150_ref, out_ref,
                    scratch100, scratch150, sems):
     i = pl.program_id(0)
     t = tile_size
     z = digits_ref[i, 0]
-    p100, p150 = digits_ref[i, 1], digits_ref[i, 2]
     s100, tx100, ty100 = digits_ref[i, 3], digits_ref[i, 4], digits_ref[i, 5]
     s150, tx150, ty150 = digits_ref[i, 6], digits_ref[i, 7], digits_ref[i, 8]
 
@@ -94,19 +118,22 @@ def _gather_kernel(tile_size, digits_ref, d100_ref, d150_ref, out_ref,
     copy100.wait()
     copy150.wait()
 
-    a = dihedral_mxu(scratch100[:], p100)
-    b = dihedral_mxu(scratch150[:], p150)
-    out_ref[:] = (a + b)[None]
+    out_ref[0, 0] = scratch100[:]
+    out_ref[0, 1] = scratch150[:]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_size", "interpret"))
 def gather_tiles_pallas(data100, data150, digits, tile_size: int,
                         interpret: bool = False):
-    """digits (B, 9) -> assembled raw samples (B, F, T, T).
+    """digits (B, 9) -> raw per-depth tiles (B, 2, F, T, T), UNtransformed.
 
-    data100/data150: (F, Z, S, G, G) stack arrays (HBM-resident).
-    Output matches DeviceStackCache's XLA gather before scaling/z lookup.
+    data100/data150: (F, Z, S, G, G) stack arrays (HBM-resident). The kernel
+    is pure data movement (data-dependent async DMAs via scalar prefetch);
+    the per-sample dihedral transforms are applied OUTSIDE by
+    ``dihedral_batch`` where XLA lowers them to cheap layout copies —
+    in-kernel flips would need MXU matmuls (no `rev` in the Mosaic lowering),
+    which dominated the step time at 512^2.
     """
     b = digits.shape[0]
     f = data100.shape[0]
@@ -118,7 +145,8 @@ def gather_tiles_pallas(data100, data150, digits, tile_size: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, f, t, t), lambda i, digits: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, f, t, t),
+                               lambda i, digits: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((f, t, t), data100.dtype),
@@ -130,7 +158,7 @@ def gather_tiles_pallas(data100, data150, digits, tile_size: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f, t, t), data100.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 2, f, t, t), data100.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -55,13 +55,16 @@ def _pofk_impl(a, b, L, k_min, k_max, n_k_bin, logspaced_k_bins):
     b_k = jnp.fft.fft2(b2)
     power = (a_k * jnp.conj(b_k)).real * (L * L / float(n) ** 4)
 
-    kk = jnp.asarray(k_grid(n, L).ravel(), dtype=a.dtype)
-    edges = jnp.asarray(bin_edges(k_min, k_max, n_k_bin, logspaced_k_bins),
-                        dtype=a.dtype)
     # Bin id per mode; DC and out-of-range modes get id n_k_bin (dropped).
-    bin_id = jnp.digitize(kk, edges) - 1
-    valid = (kk > 0) & (bin_id >= 0) & (bin_id < n_k_bin)
-    bin_id = jnp.where(valid, bin_id, n_k_bin)
+    # Host-side numpy: the mode grid and edges are static, and jnp.digitize
+    # (searchsorted) lowers to a pathologically slow serialized loop on TPU.
+    kk_np = k_grid(n, L).ravel()
+    edges_np = bin_edges(k_min, k_max, n_k_bin, logspaced_k_bins)
+    bin_id_np = np.digitize(kk_np, edges_np) - 1
+    valid_np = (kk_np > 0) & (bin_id_np >= 0) & (bin_id_np < n_k_bin)
+    kk = jnp.asarray(kk_np, dtype=a.dtype)
+    valid = jnp.asarray(valid_np)
+    bin_id = jnp.asarray(np.where(valid_np, bin_id_np, n_k_bin))
 
     n_mode = jax.ops.segment_sum(valid.astype(a.dtype), bin_id,
                                  num_segments=n_k_bin + 1)[:n_k_bin]

@@ -58,6 +58,9 @@ def _decode_data_rng(arr) -> np.random.Generator:
 
 _PROGRESS_KEYS = ("n_samples", "i_pepoch", "last_pepoch_samples",
                   "last_val_loss", "last_ckpt", "last_report")
+# the CGAN loop has no report counter (train/cgan.py resume parity)
+_GAN_PROGRESS_KEYS = ("n_samples", "i_pepoch", "last_pepoch_samples",
+                      "last_val_loss", "last_ckpt")
 
 
 @flax.struct.dataclass
@@ -143,8 +146,11 @@ class CVAETrainer:
         x0 = jnp.zeros(x0.shape, x0.dtype)
         y0 = jnp.zeros(y0.shape, y0.dtype)
         aux0 = jnp.zeros((1,), jnp.float32)
-        variables = model.init({"params": init_rng, "sample": sample_rng},
-                               x0, y0, aux0)
+        # jit the init: run eagerly, the conv-rewrite kernel reshapes
+        # (ops/conv_rewrites.py) dispatch dozens of tiny eager ops, each a
+        # separate compile — minutes over a network-attached chip
+        variables = jax.jit(model.init)(
+            {"params": init_rng, "sample": sample_rng}, x0, y0, aux0)
 
         self.optimizer = optax.chain(
             optax.scale_by_adam(b1=config.adam_b1, b2=config.adam_b2),
@@ -286,14 +292,17 @@ class CVAETrainer:
                    if k not in ("x_mu", "x_var")}
         return new_state, metrics
 
-    def _train_step_digits_impl(self, state: TrainState, digits, rng, lr,
-                                alpha_var, beta_KL):
-        raw_input, raw_labels, z = self.device_cache.gather(digits)
+    def _train_step_digits_impl(self, state: TrainState, stacks, digits,
+                                rng, lr, alpha_var, beta_KL):
+        # stacks is passed as an explicit jit argument: closing over the
+        # HBM cache would embed it as an MLIR constant (device->host fetch
+        # at lowering + GB-scale HLO; see DeviceStackCache.stacks)
+        raw_input, raw_labels, z = self.device_cache.gather(digits, stacks)
         return self._train_step_impl(state, raw_input, raw_labels, z, rng,
                                      lr, alpha_var, beta_KL)
 
-    def _train_scan_impl(self, state: TrainState, digits_k, base_rng, lr_k,
-                         alpha_k, beta_k):
+    def _train_scan_impl(self, state: TrainState, stacks, digits_k, base_rng,
+                         lr_k, alpha_k, beta_k):
         """K fused training steps in ONE device dispatch via lax.scan.
 
         Eliminates per-step host->device dispatch latency entirely (the
@@ -303,8 +312,8 @@ class CVAETrainer:
         def body(st, inp):
             digits, step_i, lr, a, b = inp
             rng = jax.random.fold_in(base_rng, step_i)
-            st, metrics = self._train_step_digits_impl(st, digits, rng, lr,
-                                                       a, b)
+            st, metrics = self._train_step_digits_impl(st, stacks, digits,
+                                                       rng, lr, a, b)
             return st, metrics
 
         return jax.lax.scan(body, state,
@@ -353,8 +362,8 @@ class CVAETrainer:
         step_rng = jax.random.fold_in(self._rng, self._host_step)
         self._host_step += 1
         self.state, metrics = self._train_step_digits(
-            self.state, digits, step_rng, jnp.float32(lr),
-            jnp.float32(alpha_var), jnp.float32(beta_KL))
+            self.state, self.device_cache.stacks, digits, step_rng,
+            jnp.float32(lr), jnp.float32(alpha_var), jnp.float32(beta_KL))
         return metrics
 
     def _sample_indices(self, rng, n: int) -> np.ndarray:
@@ -387,7 +396,8 @@ class CVAETrainer:
         self._host_step += k
         # rng folding matches k sequential step_indices calls exactly
         self.state, metrics = self._train_scan(
-            self.state, (jnp.asarray(digits), steps), self._rng, sched(lr),
+            self.state, self.device_cache.stacks,
+            (jnp.asarray(digits), steps), self._rng, sched(lr),
             sched(alpha_var), sched(beta_KL))
         return metrics
 

@@ -59,10 +59,18 @@ class FieldStats:
 
         Clamps outside the grid, matching data_transforms.py:52-64.
         ``z`` may be a scalar or a batch of redshifts.
+
+        Implemented as the branch-free cumulative form
+        v(z) = v[0] + sum_i clip((z - t_i)/(t_{i+1} - t_i), 0, 1) * dv_i
+        instead of jnp.interp: interp's searchsorted+gather lowers to a
+        serialized scalar loop on TPU (measured 29 ms per call at batch 24 —
+        it was the whole cost of the on-device transform step).
         """
         z = jnp.asarray(z)
-        mean = jnp.interp(z, self.z_grid, self.mean)
-        var = jnp.interp(z, self.z_grid, self.var)
+        t = self.z_grid
+        frac = jnp.clip((z[..., None] - t[:-1]) / (t[1:] - t[:-1]), 0.0, 1.0)
+        mean = self.mean[0] + (frac * jnp.diff(self.mean)).sum(-1)
+        var = self.var[0] + (frac * jnp.diff(self.var)).sum(-1)
         return mean, var
 
     # pytree protocol -------------------------------------------------------

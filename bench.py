@@ -102,26 +102,34 @@ def main():
         f"{samples_per_sec:.1f} samples/s (elbo={elbo:.4e})")
 
     # FLOPs + MFU so perf regressions are visible, not just samples/s.
-    # cost_analysis flops are for the whole scan_k-step dispatch.
+    # XLA cost_analysis counts a scan/while BODY once regardless of trip
+    # count (measured r3: a 25-step scan reports the same flops as one
+    # fwd+bwd), so lower a K=1 scan and take its flops as per-step flops.
     try:
         lowered = trainer._train_scan.lower(
-            trainer.state,
-            (jax.numpy.zeros((scan_k, batch, 9), jax.numpy.int32),
-             jax.numpy.arange(scan_k)),
-            jax.random.PRNGKey(0), jax.numpy.ones((scan_k,)),
-            jax.numpy.ones((scan_k,)), jax.numpy.ones((scan_k,)))
+            trainer.state, trainer.device_cache.stacks,
+            (jax.numpy.zeros((1, batch, 9), jax.numpy.int32),
+             jax.numpy.arange(1)),
+            jax.random.PRNGKey(0), jax.numpy.ones((1,)),
+            jax.numpy.ones((1,)), jax.numpy.ones((1,)))
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost["flops"]) / scan_k
+        flops_per_step = float(cost["flops"])
+        bytes_per_step = float(cost.get("bytes accessed", float("nan")))
     except Exception as e:  # cost_analysis is backend-dependent
         log(f"cost_analysis unavailable: {e}")
         flops_per_step = float("nan")
-    from baryon_painter_tpu.utils.profiling import device_peak_flops
+        bytes_per_step = float("nan")
+    from baryon_painter_tpu.utils.profiling import (device_peak_bandwidth,
+                                                    device_peak_flops)
     peak = device_peak_flops(jax.devices()[0])  # bf16 peak FLOP/s
+    peak_bw = device_peak_bandwidth(jax.devices()[0])
     mfu = flops_per_step / (dt / n_steps) / peak
+    bw_frac = bytes_per_step / (dt / n_steps) / peak_bw
     log(f"model flops/step={flops_per_step:.3e}  peak={peak:.0e}  "
-        f"MFU={100 * mfu:.1f}%")
+        f"MFU={100 * mfu:.1f}%  bytes/step={bytes_per_step:.3e}  "
+        f"achieved-BW={100 * bw_frac:.0f}% of {peak_bw:.2e} B/s")
 
     print(json.dumps({
         "metric": "cvae_train_samples_per_sec",
@@ -131,6 +139,9 @@ def main():
         "flops_per_step": (None if np.isnan(flops_per_step)
                            else round(flops_per_step / 1e9, 2) * 1e9),
         "mfu": None if np.isnan(mfu) else round(mfu, 4),
+        "bytes_per_step": (None if np.isnan(bytes_per_step)
+                           else round(bytes_per_step / 1e9, 2) * 1e9),
+        "achieved_bw_frac": None if np.isnan(bw_frac) else round(bw_frac, 3),
     }))
 
 

@@ -19,10 +19,14 @@ Segments:
 Writes a JSON report (--out) and prints a table to stderr.
 """
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bpt_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -105,9 +109,11 @@ def main():
         tile_permutations=True,
         transforms={"dm": RangeCompress("shift-log", 4.0),
                     "pressure": RangeCompress("shift-log", 4.0)})
+    log("dataset ready; building trainer (model init compile)...")
     arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
     trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), ds,
                           config=TrainConfig(seed=0), device_data=True)
+    log("trainer ready")
 
     rng = np.random.default_rng(1)
     B = args.batch
@@ -118,6 +124,15 @@ def main():
     one = jnp.float32(1.0)
 
     results = {}
+
+    # Dispatch floor: a trivial jitted op, so every segment time can be read
+    # as (compute + dispatch_floor) — the tunnel RTT dominates small ops.
+    def noop(a):
+        return a + 1.0
+
+    t_floor, _, _ = bench(noop, (jnp.zeros(()),), n=args.repeats)
+    results["dispatch_floor"] = {"ms": round(t_floor * 1e3, 3)}
+    log(f"dispatch floor (scalar jit op): {t_floor * 1e3:.2f} ms")
 
     def run(name, fn, fargs, n=None):
         t, fl, by = bench(fn, fargs, n=n or args.repeats)
@@ -135,9 +150,10 @@ def main():
 
     # --- gather ---------------------------------------------------------- #
     cache = trainer.device_cache
-    run("gather", lambda d: cache.gather(d), (digits,))
+    stacks = cache.stacks
+    run("gather", lambda s, d: cache.gather(d, s), (stacks, digits))
 
-    raw_input, raw_labels, z = jax.jit(cache.gather)(digits)
+    raw_input, raw_labels, z = jax.jit(cache.gather)(digits, stacks)
     raw_input, raw_labels, z = (jax.block_until_ready(raw_input),
                                 jax.block_until_ready(raw_labels),
                                 jax.block_until_ready(z))
@@ -163,8 +179,8 @@ def main():
 
     # --- forward subnets --------------------------------------------------- #
     def q_only(params, bstats, xx, yy, zz):
-        def f(m, xx, yy, zz):
-            return m.Q(xx, yy, zz, train=True)
+        def f(m, xx, yy, zz, train=True):
+            return m.Q(xx, yy, zz, train=train)
         out, _ = trainer.model.apply(
             {"params": params, "batch_stats": bstats}, xx, yy, zz,
             train=True, method=f, mutable=["batch_stats"])
@@ -173,8 +189,8 @@ def main():
     run("Q_net", q_only, (state.params, state.batch_stats, x, y, z))
 
     def prior_only(params, bstats, yy, zz):
-        def f(m, yy, zz):
-            return m.prior(yy, zz, train=True)
+        def f(m, yy, zz, train=True):
+            return m.prior(yy, zz, train=train)
         out, _ = trainer.model.apply(
             {"params": params, "batch_stats": bstats}, yy, zz,
             train=True, method=f, mutable=["batch_stats"])
@@ -191,8 +207,8 @@ def main():
                 key, zmu, zlv))
 
     def p_only(params, bstats, zl, yy, zz):
-        def f(m, zl, yy, zz):
-            return m.P(zl, yy, zz, train=True)
+        def f(m, zl, yy, zz, train=True):
+            return m.P(zl, yy, zz, train=train)
         out, _ = trainer.model.apply(
             {"params": params, "batch_stats": bstats}, zl, yy, zz,
             train=True, method=f, mutable=["batch_stats"])
@@ -222,10 +238,10 @@ def main():
     run("update", upd, (grads, state.opt_state, state.params))
 
     # --- full single step --------------------------------------------------- #
-    def full_step(st, d, k):
-        return trainer._train_step_digits_impl(st, d, k, lr, one, one)
+    def full_step(st, s, d, k):
+        return trainer._train_step_digits_impl(st, s, d, k, lr, one, one)
 
-    run("step", full_step, (state, digits, key))
+    run("step", full_step, (state, stacks, digits, key))
 
     # --- the 25-step scan (what the trainer dispatches) --------------------- #
     K = 25
@@ -235,11 +251,11 @@ def main():
     steps = jnp.arange(K)
     ones_k = jnp.ones((K,), jnp.float32)
 
-    def scan_fn(st, dk, sk, k):
-        return trainer._train_scan_impl(st, (dk, sk), k, ones_k * 1e-3,
+    def scan_fn(st, s, dk, sk, k):
+        return trainer._train_scan_impl(st, s, (dk, sk), k, ones_k * 1e-3,
                                         ones_k, ones_k)
 
-    t_scan, fl, by = bench(scan_fn, (state, digits_k, steps, key),
+    t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
                            n=max(3, args.repeats // 4))
     results["scan25"] = {
         "ms": round(t_scan * 1e3, 2),

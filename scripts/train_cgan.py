@@ -67,7 +67,7 @@ def main():
                           generator=CGANGenerator(n_res_blocks=args.n_res_blocks),
                           discriminator=CGANDiscriminator(),
                           device_data=args.device_data)
-    stats = trainer.train()
+    stats, _val_stats = trainer.train()
     print(f"done: {stats.n_processed_samples[-1]} samples; "
           f"loss_D mavg {stats.loss_terms['loss_D']['mavg'][-1]:.4f}")
 

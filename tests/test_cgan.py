@@ -178,7 +178,7 @@ def test_gan_train_loop_scan_and_validate(dataset, tmp_path):
                      generator=CGANGenerator(n_res_blocks=1),
                      discriminator=CGANDiscriminator(),
                      config=cfg, device_data=True)
-    stats = tr.train()
+    stats, _val_stats = tr.train()
     assert stats.n_batches == 8
     assert (tmp_path / "out" / "training_stats.txt").exists()
     assert (tmp_path / "out" / "model_state.msgpack").exists()

@@ -7,7 +7,8 @@ import pytest
 from baryon_painter_tpu.data.dataset import BahamasTileDataset, load_file_info
 from baryon_painter_tpu.data.device_cache import DeviceStackCache
 from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
-from baryon_painter_tpu.ops.pallas_gather import (dihedral_mxu,
+from baryon_painter_tpu.ops.pallas_gather import (dihedral_batch,
+                                                  dihedral_mxu,
                                                   dihedral_vmem,
                                                   gather_tiles_pallas)
 from baryon_painter_tpu.transforms import RangeCompress
@@ -35,6 +36,14 @@ def test_dihedral_vmem_matches_numpy(rng):
         # the MXU (anti-identity matmul) formulation is exact too
         got_mxu = np.asarray(dihedral_mxu(tile, p))
         np.testing.assert_array_equal(got_mxu, want)
+    # the batched transpose/reverse decomposition (the production path)
+    perms = np.arange(8)
+    tiles = jnp.broadcast_to(tile, (8,) + tile.shape)
+    got_b = np.asarray(dihedral_batch(tiles, jnp.asarray(perms)))
+    for p in range(8):
+        from baryon_painter_tpu.data.indexing import dihedral_transform
+        np.testing.assert_array_equal(got_b[p],
+                                      dihedral_transform(np.asarray(tile), p))
 
 
 def test_pallas_gather_matches_xla(dataset, rng):
@@ -84,8 +93,10 @@ def test_pallas_gather_raw_kernel(dataset, rng):
     digits = jnp.asarray(cache.digits(idx))
     tiles = gather_tiles_pallas(cache.data100, cache.data150, digits,
                                 cache.tile_size, interpret=True)
-    assert tiles.shape == (4, 2, 32, 32)
+    # raw kernel output: per-depth UNtransformed tiles (B, 2, F, T, T)
+    assert tiles.shape == (4, 2, 2, 32, 32)
+    summed = np.asarray(dihedral_batch(tiles[:, 0], digits[:, 1])
+                        + dihedral_batch(tiles[:, 1], digits[:, 2]))
     host = dataset.get_raw_batch(idx)
-    # raw kernel output is before SLICS scaling: compare the label field
-    np.testing.assert_allclose(np.asarray(tiles[:, 1]), host["labels"][0],
-                               rtol=1e-6)
+    # before SLICS scaling: compare the label field
+    np.testing.assert_allclose(summed[:, 1], host["labels"][0], rtol=1e-6)
