@@ -120,9 +120,34 @@ class DeviceStackCache:
             self.data150 = jax.device_put(self.data150, device)
         # z VALUE per slot (padding slots -> 0; never referenced by digits)
         z_arr = np.asarray(dataset.redshifts, np.float32)
-        self.z_values = jnp.asarray(
-            np.where(self._slot_to_z >= 0,
-                     z_arr[np.maximum(self._slot_to_z, 0)], 0.0))
+        # host numpy -> tiny jit constant (a closed-over device array forces
+        # a device->host fetch at every lowering)
+        self.z_values = np.where(
+            self._slot_to_z >= 0,
+            z_arr[np.maximum(self._slot_to_z, 0)], 0.0).astype(np.float32)
+        # Per-slot importance weights undoing the z-sampling skew (ADVICE r2):
+        # equal per-device quotas + uniform sampling over each device's local
+        # z set give redshift z the marginal p(z) = sum_d 1/(n_dev*n_local_d)
+        # over devices holding z. When n_z % n_dev != 0 this is non-uniform
+        # (e.g. 11 z / 8 devices: single-z devices sample their z at 2x the
+        # rate of two-z devices). w_z = (1/n_z)/p(z) has mean ~1 over the
+        # realized batch distribution and restores the uniform-z expected
+        # gradient when passed as the ELBO's sample_weight.
+        n_z = len(zs)
+        p_z = np.zeros(n_z)
+        for d in range(self._n_dev):
+            local = {self._slot_to_z[s]
+                     for s in range(d * self._slab, (d + 1) * self._slab)
+                     if self._slot_to_z[s] >= 0}
+            for zi in local:
+                p_z[zi] += 1.0 / (self._n_dev * len(local))
+        w_z = (1.0 / n_z) / np.maximum(p_z, 1e-12)
+        # host numpy (becomes a tiny jit constant; a device array here would
+        # force a fetch at every lowering)
+        self.z_slot_weights = np.where(
+            self._slot_to_z >= 0,
+            w_z[np.maximum(self._slot_to_z, 0)], 0.0).astype(np.float32)
+        self.uniform_z = bool(np.allclose(w_z, 1.0))
         # per-device slot lookup: slot_of[d, z] = global slot holding z in
         # device d's slab, or -1
         n_slots = len(z_order)
@@ -284,7 +309,7 @@ class DeviceStackCache:
                 in_specs=(P(None, ax), P(None, ax), P(ax)),
                 out_specs=P(ax))(data100, data150, digits)
 
-        zs = self.z_values[digits[:, 0]]
+        zs = jnp.asarray(self.z_values)[digits[:, 0]]
         inputs = tiles[:, 0] * self.input_scale
         labels = jnp.moveaxis(tiles[:, 1:], 1, 0)  # (n_label, B, T, T)
         return inputs, labels, zs

@@ -147,12 +147,21 @@ class CVAE(nn.Module):
     # ------------------------------------------------------------------ #
 
     def __call__(self, x, y, aux_label=None, alpha_var: float = 1.0,
-                 beta_KL: float = 1.0, train: bool = True):
+                 beta_KL: float = 1.0, train: bool = True,
+                 sample_weight=None):
         """ELBO and per-term stats; mirrors cvae.py:122-147.
 
         x: (N,H,W,C_x) transformed target field(s); y: (N,H,W,C_y) input.
         Returns a dict: elbo, kl, log_likelihood (per output channel), plus
         fixed/free-variance components when variance is predicted.
+
+        ``sample_weight``: optional (N,) importance weights multiplying each
+        sample's KL and log-likelihood contribution (mean weight should be
+        ~1). Used by the mesh-sharded data path to undo the per-device
+        z-sampling skew (data/device_cache.py): equal per-device batch
+        quotas over-sample redshifts on under-populated devices, and
+        weighting by 1/rate_z restores the uniform-z expected gradient.
+        ``None`` is exactly the unweighted reference ELBO.
         """
         M = x.shape[0]
         z_mu, z_log_var = self.Q(x, y, aux_label, train=train)
@@ -166,29 +175,39 @@ class CVAE(nn.Module):
         prior_mu = prior_mu.astype(jnp.float32)
         prior_log_var = prior_log_var.astype(jnp.float32)
         prior_var = jnp.exp(prior_log_var)
-        kl = 0.5 / M * jnp.sum(
-            (prior_mu - z_mu) ** 2 / prior_var
-            + jnp.exp(z_log_var) / prior_var
-            + prior_log_var - z_log_var - 1.0)
+        kl_elem = ((prior_mu - z_mu) ** 2 / prior_var
+                   + jnp.exp(z_log_var) / prior_var
+                   + prior_log_var - z_log_var - 1.0)
+        if sample_weight is not None:
+            w = jnp.asarray(sample_weight, jnp.float32)
+            kl = 0.5 / M * jnp.sum(w * kl_elem.sum(axis=(1, 2, 3)))
+        else:
+            kl = 0.5 / M * jnp.sum(kl_elem)
 
         params = self.P(z, y, aux_label, L=self.L, train=train)
         x_mu = params[0]
         x_rep = jnp.tile(x, (self.L, 1, 1, 1))
         sq = (x_rep - x_mu.astype(x.dtype)) ** 2
         norm = M * self.L
+        if sample_weight is not None:
+            w_rep = jnp.tile(w, (self.L,))[:, None, None, None].astype(x.dtype)
+        else:
+            w_rep = None
+        wsum = (lambda t: (w_rep * t).sum(axis=(0, 1, 2))) \
+            if w_rep is not None else (lambda t: t.sum(axis=(0, 1, 2)))
         out = {"kl": kl}
         if self.predict_var:
             x_log_var = params[1].astype(x.dtype)
             x_var = jnp.exp(x_log_var)
-            ll_fixed = -0.5 * LOG_2PI + (-0.5 * sq).sum(axis=(0, 1, 2)) / norm
-            ll_free = -0.5 * LOG_2PI + (
-                -0.5 * x_log_var - 0.5 * sq / x_var).sum(axis=(0, 1, 2)) / norm
+            ll_fixed = -0.5 * LOG_2PI + wsum(-0.5 * sq) / norm
+            ll_free = -0.5 * LOG_2PI + wsum(
+                -0.5 * x_log_var - 0.5 * sq / x_var) / norm
             ll = (1 - alpha_var) * ll_fixed + alpha_var * ll_free
             out.update(log_likelihood_fixed_var=ll_fixed,
                        log_likelihood_free_var=ll_free,
                        x_var=x_var)
         else:
-            ll = -0.5 * LOG_2PI + (-0.5 * sq).sum(axis=(0, 1, 2)) / norm
+            ll = -0.5 * LOG_2PI + wsum(-0.5 * sq) / norm
         out["log_likelihood"] = ll
         out["x_mu"] = x_mu
         out["elbo"] = -kl * beta_KL + self.likelihood_scaling * ll.sum()

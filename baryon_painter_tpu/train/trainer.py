@@ -230,11 +230,12 @@ class CVAETrainer:
         return x.astype(jnp.float32), y.astype(jnp.float32)
 
     def _forward(self, params, batch_stats, raw_input, raw_labels, z, rng,
-                 alpha_var, beta_KL, train):
+                 alpha_var, beta_KL, train, sample_weight=None):
         x, y = self._prepare(raw_input, raw_labels, z)
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, y, z, alpha_var=alpha_var, beta_KL=beta_KL, train=train,
+            sample_weight=sample_weight,
             rngs={"sample": rng}, mutable=["batch_stats"])
         return out, updates
 
@@ -264,11 +265,12 @@ class CVAETrainer:
                        if self.config.pk_loss_per_z else None))
 
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
-                         rng, lr, alpha_var, beta_KL):
+                         rng, lr, alpha_var, beta_KL, sample_weight=None):
         def loss_fn(params):
             out, updates = self._forward(params, state.batch_stats, raw_input,
                                          raw_labels, z, rng, alpha_var,
-                                         beta_KL, True)
+                                         beta_KL, True,
+                                         sample_weight=sample_weight)
             loss = -out["elbo"]
             if self.config.pk_loss_weight > 0:
                 pk = self._pk_loss(params, state.batch_stats, raw_input,
@@ -297,9 +299,16 @@ class CVAETrainer:
         # stacks is passed as an explicit jit argument: closing over the
         # HBM cache would embed it as an MLIR constant (device->host fetch
         # at lowering + GB-scale HLO; see DeviceStackCache.stacks)
-        raw_input, raw_labels, z = self.device_cache.gather(digits, stacks)
+        cache = self.device_cache
+        raw_input, raw_labels, z = cache.gather(digits, stacks)
+        # mesh-sharded z sampling is non-uniform when n_z % n_dev != 0;
+        # importance weights restore the uniform-z expected gradient
+        # (ADVICE r2; data/device_cache.py z_slot_weights)
+        sw = (None if cache.mesh is None or cache.uniform_z
+              else jnp.asarray(cache.z_slot_weights)[digits[:, 0]])
         return self._train_step_impl(state, raw_input, raw_labels, z, rng,
-                                     lr, alpha_var, beta_KL)
+                                     lr, alpha_var, beta_KL,
+                                     sample_weight=sw)
 
     def _train_scan_impl(self, state: TrainState, stacks, digits_k, base_rng,
                          lr_k, alpha_k, beta_k):

@@ -46,8 +46,10 @@ def generate_los(base, los=74, seed=0):
 
 def main():
     import jax
-    from baryon_painter_tpu.utils.platform import respect_env_platform
+    from baryon_painter_tpu.utils.platform import (
+        enable_compilation_cache, respect_env_platform)
     respect_env_platform()
+    enable_compilation_cache()
     from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
                                                  load_file_info)

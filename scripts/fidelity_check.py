@@ -107,8 +107,10 @@ def main():
 
     import jax
 
-    from baryon_painter_tpu.utils.platform import respect_env_platform
+    from baryon_painter_tpu.utils.platform import (
+        enable_compilation_cache, respect_env_platform)
     respect_env_platform()
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,

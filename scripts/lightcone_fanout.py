@@ -17,8 +17,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    from baryon_painter_tpu.utils.platform import respect_env_platform
+    from baryon_painter_tpu.utils.platform import (
+        enable_compilation_cache, respect_env_platform)
     respect_env_platform()
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--los", nargs="+", type=int, required=True)
     p.add_argument("--coordinator", default=None,

@@ -30,8 +30,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    from baryon_painter_tpu.utils.platform import respect_env_platform
+    from baryon_painter_tpu.utils.platform import (
+        enable_compilation_cache, respect_env_platform)
     respect_env_platform()
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

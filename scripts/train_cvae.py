@@ -61,8 +61,10 @@ def main():
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
-    from baryon_painter_tpu.utils.platform import respect_env_platform
+    from baryon_painter_tpu.utils.platform import (
+        enable_compilation_cache, respect_env_platform)
     respect_env_platform()
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

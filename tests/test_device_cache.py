@@ -1,5 +1,6 @@
 """Device stack cache: on-device assembly must equal the host path."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -168,9 +169,23 @@ def test_mesh_sharded_gather_rejects_nonlocal_z(dataset):
         cache_sh.digits(idx)
 
 
-def test_mesh_sharded_trainer_matches_single_device(dataset):
+def test_mesh_sharded_trainer_matches_single_device(tmp_path):
     """A fused scan step through the z-sharded cache on the 8-device mesh
-    must match the single-device cache step on the same batch."""
+    must match the single-device cache step on the same batch.
+
+    Uses 4 redshifts (divides the 8-device mesh) so the z marginal is
+    uniform and the skew-compensation weights are inert — with n_z % n_dev
+    != 0 the sharded step intentionally applies per-sample importance
+    weights and differs per batch (see
+    test_mesh_z_weights_restore_uniform_marginal)."""
+    root = str(tmp_path / "s4")
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 0.5, 1.0, 1.5))
+    dataset = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        tile_permutations=True,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
     arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
     mesh = _mesh8()
 
@@ -215,3 +230,80 @@ def test_mesh_budget_uses_per_device_bytes(dataset):
                                            device_cache_budget_bytes=budget),
                         mesh=_mesh8(), device_data=True)
     assert tr_sh.device_cache is not None
+
+
+def test_mesh_z_weights_restore_uniform_marginal(tmp_path):
+    """ADVICE r2: equal per-device quotas skew the z marginal when
+    n_z % n_dev != 0; the per-slot importance weights must satisfy
+    p(z) * w_z = 1/n_z exactly (uniform-z expected gradient)."""
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.data.dataset import load_file_info
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    root = str(tmp_path / "s3")
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 0.5, 1.0))
+    ds3 = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        tile_permutations=True,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    cache = DeviceStackCache(ds3, mesh=mesh)
+
+    # 3 z over 8 devices: slots [0,1,2,0,1,2,0,1] -> p = (3/8, 3/8, 2/8)
+    assert not cache.uniform_z
+    n_z = 3
+    p = np.zeros(n_z)
+    for d in range(cache._n_dev):
+        local = {cache._slot_to_z[s]
+                 for s in range(d * cache._slab, (d + 1) * cache._slab)
+                 if cache._slot_to_z[s] >= 0}
+        for zi in local:
+            p[zi] += 1.0 / (cache._n_dev * len(local))
+    np.testing.assert_allclose(p, [3 / 8, 3 / 8, 2 / 8])
+    # w per slot corresponds to w_z = (1/n_z)/p_z; p_z * w_z == 1/n_z
+    for s, zi in enumerate(cache._slot_to_z):
+        if zi >= 0:
+            np.testing.assert_allclose(
+                p[zi] * cache.z_slot_weights[s], 1 / n_z, rtol=1e-6)
+
+    # the weighted step runs and produces a finite ELBO
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    tr = CVAETrainer(CVAE(arch), ds3, config=TrainConfig(seed=0),
+                     mesh=mesh, device_data=True)
+    rng = np.random.default_rng(0)
+    idx = np.stack([tr._sample_indices(rng, 16)])
+    m = tr.step_scan(idx, lr=1e-3)
+    assert np.isfinite(float(np.asarray(m["elbo"])[-1]))
+
+
+def test_sample_weight_ones_matches_unweighted(dataset):
+    """sample_weight=1 must reproduce the unweighted ELBO bit-for-bit."""
+    arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
+    model = CVAE(arch)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 1)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((4, 32, 32, 1)).astype(np.float32))
+    z = jnp.asarray(np.array([0.0, 0.5, 0.0, 0.5], np.float32))
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, y, z)
+
+    def run(sw):
+        out, _ = model.apply(variables, x, y, z, train=True,
+                             sample_weight=sw,
+                             rngs={"sample": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+        return out
+
+    base = run(None)
+    ones = run(jnp.ones(4))
+    np.testing.assert_allclose(float(base["elbo"]), float(ones["elbo"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(base["kl"]), float(ones["kl"]),
+                               rtol=1e-6)
+    # non-trivial weights change the objective
+    skew = run(jnp.asarray(np.array([2.0, 0.5, 1.0, 0.5], np.float32)))
+    assert abs(float(skew["elbo"]) - float(base["elbo"])) > 1e-3
