@@ -97,6 +97,7 @@ def _write_synthetic_los(base, z_shells, n_delta, los=3, seed=0):
             os.path.join(base, "delta", f"{z:.3f}delta.dat_bicubic_LOS{los}"))
 
 
+@pytest.mark.slow
 def test_ymap_cl_pipeline_gate(tmp_path):
     """End-to-end map-level regression: the y-map assembled through the
     production pipeline (tile gather -> zoom -> paint -> blend -> y

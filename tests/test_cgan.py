@@ -12,6 +12,9 @@ from baryon_painter_tpu.painter import CGANPainter, load_painter
 from baryon_painter_tpu.train.cgan import CGANTrainConfig, CGANTrainer
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: G/D training-step compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 TILE = 32
 
 

@@ -8,6 +8,9 @@ from baryon_painter_tpu.ops.conv_rewrites import (
     conv_via_space_to_depth, s2d_rewrite_applicable, transp_conv_as_conv,
     transp_conv_rewrite_applicable)
 
+# quick-tier exclusion: per-variant conv compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 def _transp_conv_dilated(x, w, s, p):
     pad = w.shape[0] - 1 - p

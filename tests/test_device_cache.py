@@ -44,6 +44,7 @@ def test_fits_estimate(dataset):
     assert not DeviceStackCache.fits(dataset, budget_bytes=nbytes - 1)
 
 
+@pytest.mark.slow
 def test_trainer_step_indices_matches_step(dataset):
     arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)
     idx = np.arange(4)
@@ -60,6 +61,7 @@ def test_trainer_step_indices_matches_step(dataset):
         tr2.step_indices(idx, lr=1e-3)
 
 
+@pytest.mark.slow
 def test_step_scan_matches_sequential(dataset):
     """K fused scan steps must reproduce K sequential steps exactly
     (same rng folding, same data, same schedules)."""
@@ -96,6 +98,7 @@ def test_step_scan_matches_sequential(dataset):
                     config=TrainConfig(seed=0)).step_scan(idx_matrix, 1e-3)
 
 
+@pytest.mark.slow
 def test_trainer_falls_back_when_cache_does_not_fit(dataset):
     """device_data=True with stacks over the HBM budget must warn and fall
     back to the host batch path instead of OOMing (docstring contract)."""
@@ -169,6 +172,7 @@ def test_mesh_sharded_gather_rejects_nonlocal_z(dataset):
         cache_sh.digits(idx)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_trainer_matches_single_device(tmp_path):
     """A fused scan step through the z-sharded cache on the 8-device mesh
     must match the single-device cache step on the same batch.
@@ -211,6 +215,7 @@ def test_mesh_sharded_trainer_matches_single_device(tmp_path):
     assert np.max(np.abs(a - b)) < 5e-3  # adam sign-flip noise, 2 steps
 
 
+@pytest.mark.slow
 def test_mesh_budget_uses_per_device_bytes(dataset):
     """A set exceeding one chip's budget but fitting per-shard constructs
     the sharded cache; the same budget without a mesh falls back."""
@@ -232,6 +237,7 @@ def test_mesh_budget_uses_per_device_bytes(dataset):
     assert tr_sh.device_cache is not None
 
 
+@pytest.mark.slow
 def test_mesh_z_weights_restore_uniform_marginal(tmp_path):
     """ADVICE r2: equal per-device quotas skew the z marginal when
     n_z % n_dev != 0; the per-slot importance weights must satisfy
@@ -279,6 +285,7 @@ def test_mesh_z_weights_restore_uniform_marginal(tmp_path):
     assert np.isfinite(float(np.asarray(m["elbo"])[-1]))
 
 
+@pytest.mark.slow
 def test_sample_weight_ones_matches_unweighted(dataset):
     """sample_weight=1 must reproduce the unweighted ELBO bit-for-bit."""
     arch = fiducial_cvae_architecture(tile_size=32, n_res_blocks=1)

@@ -9,6 +9,9 @@ from baryon_painter_tpu.models.layers import (FusedResBlock,
                                               _is_canonical_res_block)
 from baryon_painter_tpu.models import dsl
 
+# quick-tier exclusion: fused res-block train/eval compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 def test_canonical_detection():
     assert _is_canonical_res_block(dsl.res_block(128))

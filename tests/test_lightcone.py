@@ -142,6 +142,7 @@ def test_paint_plane_from_massplane(rng):
     assert np.all(np.isfinite(out))
 
 
+@pytest.mark.slow
 def test_process_slics_end_to_end(tmp_path, rng):
     """Synthetic LOS with one low-z (massplane) and one high-z (delta) shell."""
     n_delta, n_mass = 128, 96
@@ -181,6 +182,7 @@ def test_process_slics_end_to_end(tmp_path, rng):
 # y-map assembly
 # --------------------------------------------------------------------- #
 
+@pytest.mark.slow
 def test_effective_pixel_areas_against_quad():
     from scipy.integrate import quad
     cosmo = SLICS_COSMOLOGY()
@@ -230,6 +232,7 @@ def test_create_y_map_handles_nans():
 # Multi-chip painting (VERDICT r1 item 4): sharded == single-device
 # --------------------------------------------------------------------- #
 
+@pytest.mark.slow
 def test_process_slics_sharded_matches_single_device(tmp_path, rng):
     """A multi-shell synthetic LOS painted with an 8-device mesh (real CVAE
     painter, tile batches sharded over the mesh, bf16 plane transfer off)

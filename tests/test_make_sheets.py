@@ -12,6 +12,9 @@ import subprocess
 import numpy as np
 import pytest
 
+# quick-tier exclusion: native toolchain build + oracle runs
+pytestmark = pytest.mark.slow
+
 TOOL_DIR = os.path.join(os.path.dirname(__file__), "..", "tools",
                         "make_sheets")
 TOOL = os.path.join(TOOL_DIR, "make_sheets")

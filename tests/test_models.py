@@ -43,6 +43,7 @@ def test_conv_transpose_output_sizes(n, k, s, p, want):
     assert y.shape == (1, want, want, 3)
 
 
+@pytest.mark.slow
 def test_spec_sequential_conv_down_up():
     spec = tuple(map(tuple, dsl.conv_down(1, [8, 16, 32], [2, 4, 4])))
     m = SpecSequential(spec)
@@ -55,6 +56,7 @@ def test_spec_sequential_conv_down_up():
     assert y2.shape == (2, 128, 128, 1)
 
 
+@pytest.mark.slow
 def test_resize_conv_upsampling():
     """Anti-checkerboard conv_up variant: same output shapes as transpose."""
     spec = tuple(map(tuple, dsl.conv_up(8, [4, 2, 1], [2, 4, 4],
@@ -218,6 +220,7 @@ def test_cvae_fiducial_param_count():
     assert 1.4e6 < n_params < 2.0e6, n_params
 
 
+@pytest.mark.slow
 def test_cvae_grads_finite(small_arch):
     model = CVAE(small_arch)
     x = jnp.ones((2, 64, 64, 1)) * 0.2

@@ -11,6 +11,9 @@ from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
 from baryon_painter_tpu.transforms import (ChainTransform, RangeCompress,
                                            SplitScale)
 
+# quick-tier exclusion: split-scale trainer compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 N_SCALE = 2
 TILE = 32
 

@@ -10,6 +10,9 @@ from baryon_painter_tpu.painter import CVAEPainter
 from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: painter paint-graph compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 TILE = 32
 
 

@@ -13,6 +13,9 @@ from baryon_painter_tpu.ops.pallas_gather import (dihedral_batch,
                                                   gather_tiles_pallas)
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: pallas interpret-mode kernels (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -8,6 +8,9 @@ import sys
 import numpy as np
 import pytest
 
+# quick-tier exclusion: stack-building pipeline (run with the full suite)
+pytestmark = pytest.mark.slow
+
 TOOL_DIR = os.path.join(os.path.dirname(__file__), "..", "tools",
                         "make_sheets")
 TOOL = os.path.join(TOOL_DIR, "make_sheets")

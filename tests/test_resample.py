@@ -6,6 +6,9 @@ from scipy.ndimage import spline_filter1d, zoom as scipy_zoom
 
 from baryon_painter_tpu.ops.resample import spline_filter_1d, zoom
 
+# quick-tier exclusion: spline-prefilter compiles per order/mode (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("order", [3, 5])
 @pytest.mark.parametrize("mode", ["mirror", "reflect"])

@@ -32,6 +32,7 @@ def test_schedule_specs_match_callables():
                             "values": [1.0]})
 
 
+@pytest.mark.slow
 def test_run_config_roundtrip_reproduces_training(tmp_path):
     """config -> train 1 pepoch -> checkpoint -> rebuild EVERYTHING from the
     stored config -> identical state (VERDICT r1 item 10)."""

@@ -13,6 +13,9 @@ from baryon_painter_tpu.parallel.mesh import data_parallel_mesh, replicate
 from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: 8-device sharded paint compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 TILE = 32
 
 

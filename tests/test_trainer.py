@@ -17,6 +17,9 @@ from baryon_painter_tpu.train.schedules import (fiducial_adaptive_batch_size,
 from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: trainer construction + fused-step compiles (run with the full suite)
+pytestmark = pytest.mark.slow
+
 TILE = 32
 
 

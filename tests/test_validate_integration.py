@@ -10,6 +10,9 @@ from baryon_painter_tpu.models.cvae import (CVAE, count_parameters,
 from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
 from baryon_painter_tpu.transforms import RangeCompress
 
+# quick-tier exclusion: full validate() figure pipeline (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trainer(tmp_path_factory):

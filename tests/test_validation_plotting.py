@@ -6,6 +6,9 @@ from baryon_painter_tpu.utils.validation_plotting import (
     plot_histogram, plot_power_spectra, plot_samples,
     power_spectrum_fractional_error)
 
+# quick-tier exclusion: matplotlib figure rendering (run with the full suite)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def fields(rng):
