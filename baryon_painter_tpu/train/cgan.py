@@ -522,7 +522,10 @@ class CGANTrainer:
             {"params": self.state.g_params, "batch_stats": self.state.g_stats},
             y, jnp.asarray(zs), train=False)
 
-        to_nchw = lambda a: np.moveaxis(np.asarray(a), -1, 1)
+        # float32 cast: bf16-model outputs are ml_dtypes.bfloat16, which numpy
+        # cannot promote against float32 inside the plotting code
+        to_nchw = lambda a: np.moveaxis(
+            np.asarray(a).astype(np.float32), -1, 1)
         x_nchw, y_nchw, p_nchw = to_nchw(x), to_nchw(y), to_nchw(fake)
         inv = [ds.get_inverse_transforms(z=z) for z in zs]
         figs = {}

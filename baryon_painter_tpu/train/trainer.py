@@ -653,7 +653,10 @@ class CVAETrainer:
         else:
             x_pred, x_var = pred, None
 
-        to_nchw = lambda a: np.moveaxis(np.asarray(a), -1, 1)
+        # float32: bf16-model predictions arrive as ml_dtypes.bfloat16, which
+        # numpy cannot promote against float32 inside the plotting code
+        to_nchw = lambda a: np.moveaxis(
+            np.asarray(a).astype(np.float32), -1, 1)
         x_nchw, y_nchw, p_nchw = to_nchw(x), to_nchw(y), to_nchw(x_pred)
         inv = [ds.get_inverse_transforms(z=z) for z in zs]
         figs = {}

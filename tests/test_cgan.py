@@ -209,3 +209,123 @@ def test_gan_spectral_loss_trains_and_reports(dataset):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         tr.state.g_params, g0))
     assert max(changed) > 0
+
+
+def test_gan_data_parallel_matches_single_device(dataset):
+    """Same batch, same init: 8-way DP G/D step must equal the single-device
+    step (CVAE-side counterpart: test_trainer.test_data_parallel_matches_
+    single_device; VERDICT r2 item 6)."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest should provide 8 CPU devices"
+    mesh = Mesh(devices, axis_names=("data",))
+    batch = dataset.get_raw_batch(np.arange(8))
+
+    def make(mesh=None):
+        return CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                           discriminator=CGANDiscriminator(),
+                           config=CGANTrainConfig(seed=3, batch_size=8),
+                           mesh=mesh)
+
+    tr_single = make()
+    m_s = tr_single.step(batch, lr=5e-5)
+    tr_dp = make(mesh=mesh)
+    m_dp = tr_dp.step(batch, lr=5e-5)
+
+    for k in ("loss_D", "loss_G_adv", "loss_G_perceptual", "D_real",
+              "D_fake"):
+        np.testing.assert_allclose(float(m_s[k]), float(m_dp[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    # post-adam params: first-step updates are ~sign(g)*lr; allow the tiny
+    # reduction-order flip fraction the CVAE-side test allows
+    for net in ("g_params", "d_params"):
+        a = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(getattr(tr_single.state, net))])
+        b = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(getattr(tr_dp.state, net))])
+        assert np.max(np.abs(a - b)) < 2.5 * 5e-5, net
+        assert np.mean(np.abs(a - b) > 1e-6) < 0.02, net
+
+
+def test_gan_sharded_device_cache_step(dataset):
+    """Mesh + device_data: the z-sharded HBM cache wiring (ADVICE r2) feeds
+    the fused G/D scan step with device-grouped z-local batches."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:2])
+    mesh = Mesh(devices, axis_names=("data",))
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=4, batch_size=4),
+                     mesh=mesh, device_data=True)
+    assert tr.device_cache is not None and tr.device_cache.mesh is mesh
+    rng = np.random.default_rng(0)
+    idx = np.stack([tr._sample_indices(rng, 4) for _ in range(2)])
+    m = tr.step_scan(idx, lr=5e-5)
+    assert np.isfinite(np.asarray(m["loss_D"])).all()
+    assert np.isfinite(np.asarray(m["loss_G_adv"])).all()
+
+
+def test_gan_device_cache_budget_falls_back_to_host(dataset, recwarn):
+    """A too-small device budget must warn and fall back to the host batch
+    path instead of allocating the cache (ADVICE r2: fits() gating)."""
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2,
+                                            device_cache_budget_bytes=1),
+                     device_data=True)
+    assert tr.device_cache is None
+    assert any("falling back to the host batch path" in str(w.message)
+               for w in recwarn.list)
+    # host path still trains
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    assert np.isfinite(float(m["loss_D"]))
+
+
+def test_gan_resume_matches_uninterrupted_run(dataset, tmp_path):
+    """Train 4 pepochs straight vs 2 + restore + 2 more: schedule sequence,
+    stats files and final G/D parameters must match (CVAE-side counterpart:
+    test_resume_matches_uninterrupted_run; VERDICT r2 item 6)."""
+    from baryon_painter_tpu.train.checkpoint import load_checkpoint
+
+    def build(outdir, n_pepoch):
+        cfg = CGANTrainConfig(
+            seed=7, batch_size=2, n_pepoch=n_pepoch, pepoch_size=8,
+            stats_sync_every=4, checkpoint_frequency=10 ** 9,
+            validation_loss_frequency=8, validation_loss_batch_size=2,
+            statistics_report_frequency=0, output_path=str(outdir))
+        return CGANTrainer(dataset, test_data=dataset,
+                           generator=CGANGenerator(n_res_blocks=1),
+                           discriminator=CGANDiscriminator(),
+                           config=cfg, device_data=True)
+
+    def read_stats(path):
+        with open(path) as f:
+            lines = f.read().splitlines()
+        rows = np.array([[float(v) for v in l.split()] for l in lines[1:]])
+        return lines[0], rows
+
+    dir_a, dir_b = tmp_path / "full", tmp_path / "resumed"
+    build(dir_a, n_pepoch=4).train()
+
+    build(dir_b, n_pepoch=2).train()
+    tr = build(dir_b, n_pepoch=4)
+    tr.restore(str(dir_b / "model"))
+    assert tr._progress is not None and tr._progress["i_pepoch"] == 2
+    tr.train()
+
+    for fn in ("training_stats.txt", "validation_stats.txt"):
+        header_a, rows_a = read_stats(dir_a / fn)
+        header_b, rows_b = read_stats(dir_b / fn)
+        assert header_a == header_b
+        assert rows_a.shape == rows_b.shape, fn
+        np.testing.assert_allclose(rows_b, rows_a, rtol=1e-5, atol=1e-7,
+                                   err_msg=fn)
+
+    (sa, _), (sb, _) = (load_checkpoint(str(dir_a / "model")),
+                        load_checkpoint(str(dir_b / "model")))
+    for net in ("g_params", "d_params"):
+        for pa, pb in zip(jax.tree.leaves(sa[net]),
+                          jax.tree.leaves(sb[net])):
+            np.testing.assert_allclose(pb, pa, rtol=1e-6, atol=1e-8)
