@@ -60,18 +60,33 @@ def _res_block_lrelu(c):
     return [("residual block", (inner, ("Leaky ReLU", 0.2)))]
 
 
-def cgan_generator_spec(in_channels: int = 2, n_res_blocks: int = 9):
+def cgan_generator_spec(in_channels: int = 2, n_res_blocks: int = 9,
+                        upsample: str = "transpose"):
     """Body spec (everything except the final 9x9 conv, which uses Xavier
-    init and is built separately)."""
+    init and is built separately).
+
+    ``upsample='transpose'`` mirrors the reference (strided transposed
+    convs, trained_models/README.md:97); ``'resize'`` replaces them with
+    nearest-resize + 3x3 conv — architecturally checkerboard-free, the same
+    variant that cut the CVAE decoder's painted auto-P(k) error 5x
+    (models/dsl.py conv_up)."""
     body = _conv(in_channels, 32, 9, 1, False, True, "lrelu")
     body += _conv(32, 64, 3, 2, True, True, "lrelu")
     body += _conv(64, 128, 3, 2, True, True, "lrelu")
     for _ in range(n_res_blocks):
         body += _res_block_lrelu(128)
-    body += _conv(128, 64, 3, 2, True, True, "lrelu", output_padding=1,
-                  transp=True)
-    body += _conv(64, 32, 3, 2, True, True, "lrelu", output_padding=1,
-                  transp=True)
+    if upsample == "transpose":
+        body += _conv(128, 64, 3, 2, True, True, "lrelu", output_padding=1,
+                      transp=True)
+        body += _conv(64, 32, 3, 2, True, True, "lrelu", output_padding=1,
+                      transp=True)
+    elif upsample == "resize":
+        body += [("upsample nearest", {"scale": 2})]
+        body += _conv(128, 64, 3, 1, True, True, "lrelu")
+        body += [("upsample nearest", {"scale": 2})]
+        body += _conv(64, 32, 3, 1, True, True, "lrelu")
+    else:
+        raise ValueError(f"Unknown generator upsample mode '{upsample}'.")
     head = _conv(32, 1, 9, 1, True, True, "tanh")
     return tuple(map(tuple, body)), tuple(map(tuple, head))
 
@@ -89,13 +104,15 @@ class CGANGenerator(nn.Module):
     in_channels: int = 2  # dm + z feature map
     n_res_blocks: int = 9
     spectral_norm: bool = True
+    upsample: str = "transpose"
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, y, z, train: bool = True):
         """y: (N,H,W,1) transformed DM tile; z: (N,) redshifts."""
         body_spec, head_spec = cgan_generator_spec(self.in_channels,
-                                                   self.n_res_blocks)
+                                                   self.n_res_blocks,
+                                                   self.upsample)
         h = merge_aux_label(y, z_feature(z))
         h = SpecSequential(body_spec, dtype=self.dtype,
                            spectral_norm=self.spectral_norm,

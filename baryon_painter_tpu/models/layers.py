@@ -83,7 +83,14 @@ class Conv2d(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
         dtype = self.dtype or x.dtype
-        r = next((r for r in (4, 2)
+        # Prefer the deeper r=4 space-to-depth: it needs fewer MXU tile ops
+        # AND moves fewer bytes than r=2 (A/B r3: fwd+bwd 102.8 ms / 70.9 GB
+        # vs 115.9 ms / 79.5 GB with r=2 first), despite a larger 3x3-window
+        # kernel expansion. BPT_S2D_ORDER=24 flips the preference for
+        # experiments.
+        _order = ((2, 4) if os.environ.get("BPT_S2D_ORDER", "42") == "24"
+                  else (4, 2))
+        r = next((r for r in _order
                   if _cr.s2d_rewrite_applicable(k, s, p, x.shape[1],
                                                 x.shape[2], cin, r)
                   and _cr.s2d_rewrite_profitable(k, cin, self.features, r)),
@@ -152,6 +159,134 @@ class ConvTranspose2d(nn.Module):
                 (self.features,))
             out = out + bias
         return out
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train(x, gamma, beta, eps):
+    out, _ = _bn_train_fwd_res(x, gamma, beta, eps)
+    return out  # (y, batch_mean, batch_var)
+
+
+def _bn_train_fwd_res(x, gamma, beta, eps):
+    axes = tuple(range(x.ndim - 1))
+    # The barrier pins x to its storage dtype: without it XLA hoists the
+    # f32 convert below into the producing conv's output (convs accumulate
+    # f32 anyway), and every layout/d2s copy between conv and BN then moves
+    # f32 instead of bf16 (measured r3: the depth-to-space copies of the
+    # decoder's transposed convs doubled to 400 MB each).
+    x = jax.lax.optimization_barrier(x)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axes)
+    ms = jnp.mean(xf * xf, axes)
+    var = ms - mu * mu  # fast variance (flax use_fast_variance semantics)
+    inv = jax.lax.rsqrt(var + eps)
+    a = gamma * inv
+    b = beta - mu * a
+    y = (xf * a + b).astype(x.dtype)
+    return (y, mu, var), (x, mu, inv, gamma)
+
+
+def _bn_train_fwd(x, gamma, beta, eps):
+    (y, mu, var), res = _bn_train_fwd_res(x, gamma, beta, eps)
+    return (y, mu, var), res
+
+
+def _bn_train_bwd(eps, res, cts):
+    # Cotangents for the (mu, var) outputs are zero by construction (they
+    # only feed the stop_gradient'ed running-stat update).
+    dy, _, _ = cts
+    x, mu, inv, gamma = res
+    axes = tuple(range(x.ndim - 1))
+    n = float(np.prod([x.shape[i] for i in axes]))
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    g1 = jnp.sum(dyf, axes)                    # = dbeta
+    g2 = jnp.sum(dyf * xf, axes)
+    dgamma = inv * (g2 - mu * g1)              # = sum(dy * xhat)
+    a = gamma * inv
+    dx = (a * (dyf - g1 / n - (xf - mu) * inv * (dgamma / n))).astype(x.dtype)
+    return dx, dgamma, g1
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class BatchNorm(nn.Module):
+    """Drop-in ``flax.linen.BatchNorm`` replacement with a low-HBM-traffic
+    training path.
+
+    flax's BatchNorm promotes the full activation tensor to float32 for the
+    normalize chain and stashes float32 residuals for the backward pass; at
+    512^2 tiles those 400 MB buffers dominated the train step's HBM traffic
+    (roofline r3: fwd+bwd ran at 84% of HBM bandwidth). This module keeps
+    activations in the compute dtype (bf16) in HBM - float32 arithmetic
+    happens only inside fusions - via a custom VJP whose residual is the
+    bf16 input plus per-channel float32 vectors:
+
+      fwd:  1 stats pass (f32-accumulated reduce over bf16 x)
+            + 1 fused normalize pass (read x, write y, both bf16)
+      bwd:  1 fused double-reduce pass (read x, dy)
+            + 1 fused dx pass (read x, dy; write dx)
+
+    Scope, parameter and variable names match flax.linen.BatchNorm
+    ("BatchNorm_N"; params scale/bias; batch_stats mean/var) so existing
+    checkpoints load unchanged. Statistics semantics are flax's: fast
+    (E[x^2]-E[x]^2) batch variance, running stats updated with the biased
+    batch variance, momentum as the keep-fraction.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if self.use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = gamma * inv
+            b = beta - ra_mean.value * a
+            return (x.astype(jnp.float32) * a + b).astype(dtype)
+        y, mu, var = _bn_train(x, gamma, beta, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = (m * ra_mean.value
+                             + (1 - m) * jax.lax.stop_gradient(mu))
+            ra_var.value = (m * ra_var.value
+                            + (1 - m) * jax.lax.stop_gradient(var))
+        return y
+
+
+class PReLU(nn.Module):
+    """torch-style PReLU (single learnable slope, init 0.25) computed in
+    x.dtype.
+
+    flax's nn.PReLU promotes the activation to the f32 slope's dtype, which
+    materializes full-resolution f32 tensors in HBM on the bf16 path (the
+    decoder output heads run PReLU at 512^2). Scope name and parameter name
+    ("PReLU_N"/"negative_slope") match flax's so checkpoints interchange.
+    """
+
+    negative_slope_init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        slope = self.param(
+            "negative_slope",
+            lambda k: jnp.full((), self.negative_slope_init, jnp.float32))
+        return jnp.where(x >= 0, x, slope.astype(x.dtype) * x)
 
 
 class ResidualBlock(nn.Module):
@@ -326,16 +461,18 @@ class SpecSequential(nn.Module):
                                         dtype=self.dtype))
                 x = m(x, **sn_kw) if sn_kw else m(x)
             elif lname == "batchnorm":
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5,
-                                 dtype=self.dtype)(x)
+                bn_cls = (nn.BatchNorm if os.environ.get("BPT_FLAX_BN")
+                          else BatchNorm)
+                x = bn_cls(use_running_average=not train,
+                           momentum=0.9, epsilon=1e-5,
+                           dtype=self.dtype)(x)
             elif lname == "relu":
                 x = nn.relu(x)
             elif lname == "leaky relu":
                 x = nn.leaky_relu(x, negative_slope=config if config is not None else 0.2)
             elif lname == "prelu":
                 # torch PReLU: single learnable slope, init 0.25
-                x = nn.PReLU(negative_slope_init=0.25)(x)
+                x = PReLU()(x)
             elif lname == "tanh":
                 x = jnp.tanh(x)
             elif lname == "sigmoid":

@@ -282,7 +282,8 @@ class CGANPainter(Painter):
         meta = ckpt.meta_from_dataset(
             trainer.training_data,
             {"n_res_blocks": trainer.generator.n_res_blocks,
-             "in_channels": trainer.generator.in_channels},
+             "in_channels": trainer.generator.in_channels,
+             "upsample": trainer.generator.upsample},
             model_kind="cgan")
         variables = {"params": trainer.state.g_params,
                      "batch_stats": trainer.state.g_stats}
@@ -294,7 +295,8 @@ class CGANPainter(Painter):
         state, meta = ckpt.load_checkpoint(filename)
         arch = meta["model_architecture"]
         generator = CGANGenerator(in_channels=arch.get("in_channels", 2),
-                                  n_res_blocks=arch.get("n_res_blocks", 9))
+                                  n_res_blocks=arch.get("n_res_blocks", 9),
+                                  upsample=arch.get("upsample", "transpose"))
         variables = {"params": state["g_params"],
                      "batch_stats": state.get("g_stats", {})}
         self._setup(generator, variables, meta)

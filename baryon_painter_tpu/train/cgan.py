@@ -568,7 +568,8 @@ class CGANTrainer:
             state["data_rng"] = _encode_data_rng(self._data_rng)
         meta = ckpt.meta_from_dataset(self.training_data,
                                       {"n_res_blocks": self.generator.n_res_blocks,
-                                       "in_channels": self.generator.in_channels},
+                                       "in_channels": self.generator.in_channels,
+                                       "upsample": self.generator.upsample},
                                       model_kind="cgan")
         ckpt.save_checkpoint(base_path, state, meta)
 

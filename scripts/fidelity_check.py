@@ -155,7 +155,7 @@ def main():
         from baryon_painter_tpu.train.cgan import (CGANTrainConfig,
                                                    CGANTrainer)
         trainer = CGANTrainer(train_ds, test_data=val_ds,
-                              generator=CGANGenerator(),
+                              generator=CGANGenerator(upsample=args.upsample),
                               discriminator=CGANDiscriminator(),
                               config=CGANTrainConfig(
                                   seed=args.seed, batch_size=args.batch,

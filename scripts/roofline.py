@@ -282,13 +282,18 @@ def main():
 
     t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
                            n=max(3, args.repeats // 4))
+    # XLA cost_analysis counts a scan/while BODY once regardless of trip
+    # count (verified: the K-step scan reports the same flops as one
+    # fwd+bwd), so `fl`/`by` here already ARE per-step numbers and the
+    # per-step MFU/BW divide by t_scan/K, not t_scan.
+    t_step = t_scan / K
     results["scan25"] = {
         "ms": round(t_scan * 1e3, 2),
-        "ms_per_step": round(t_scan / K * 1e3, 3),
-        "gflops_per_step": None if np.isnan(fl) else round(fl / K / 1e9, 2),
-        "mbytes_per_step": None if np.isnan(by) else round(by / K / 1e6, 1),
-        "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_scan / peak_f, 2),
-        "bw_pct": None if np.isnan(by) else round(100 * by / t_scan / peak_b, 1),
+        "ms_per_step": round(t_step * 1e3, 3),
+        "gflops_per_step": None if np.isnan(fl) else round(fl / 1e9, 2),
+        "mbytes_per_step": None if np.isnan(by) else round(by / 1e6, 1),
+        "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_step / peak_f, 2),
+        "bw_pct": None if np.isnan(by) else round(100 * by / t_step / peak_b, 1),
     }
     r = results["scan25"]
     log(f"{'scan25':>10s}: {r['ms_per_step']:8.2f} ms/step  "

@@ -329,3 +329,24 @@ def test_gan_resume_matches_uninterrupted_run(dataset, tmp_path):
         for pa, pb in zip(jax.tree.leaves(sa[net]),
                           jax.tree.leaves(sb[net])):
             np.testing.assert_allclose(pb, pa, rtol=1e-6, atol=1e-8)
+
+
+def test_resize_generator_shapes_and_roundtrip(dataset, tmp_path):
+    """The resize-upsample generator variant (checkerboard-free, the same
+    trick as the CVAE's fiducial-resize decoder) must produce same-shape
+    output and survive a checkpoint round trip with its mode recorded."""
+    tr = CGANTrainer(dataset,
+                     generator=CGANGenerator(n_res_blocks=1,
+                                             upsample="resize"),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2))
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(m))
+    base = str(tmp_path / "gan_resize")
+    tr.save(base)
+    p = load_painter(base)
+    assert isinstance(p, CGANPainter)
+    assert p.generator.upsample == "resize"
+    out = p.paint(dataset.get_input_sample(0, transform=False), z=0.5)
+    assert out.shape == (TILE, TILE)
+    assert np.all(np.isfinite(out))
