@@ -59,6 +59,7 @@ class CGANTrainConfig:
     lr_decay: float = 0.85           # per pepoch
     statistics_report_frequency: int = 50
     checkpoint_frequency: int = 20000
+    keep_last_checkpoints: int = 0       # periodic ckpt rotation; 0 = keep all
     validation_loss_frequency: int = 0   # in samples; 0 = off
     validation_loss_batch_size: int = 16
     stats_sync_every: int = 16       # steps between device metric syncs
@@ -480,6 +481,7 @@ class CGANTrainer:
                 validation_stats.flush_to_file()
                 snapshot_progress()
                 self.save(os.path.join(out, f"checkpoint_sample{n_samples:0>10}"))
+                ckpt.rotate_checkpoints(out, cfg.keep_last_checkpoints)
             if (cfg.verbose and pending
                     and stats.n_batches % 50 < len(pending)):
                 self._flush_stats(pending, stats)

@@ -22,7 +22,8 @@ import numpy as np
 
 from baryon_painter_tpu.transforms import FieldStats, transform_from_dict
 
-__all__ = ["save_checkpoint", "load_checkpoint", "meta_from_dataset"]
+__all__ = ["save_checkpoint", "load_checkpoint", "meta_from_dataset",
+           "rotate_checkpoints"]
 
 
 def _jsonify(obj):
@@ -68,6 +69,28 @@ def save_checkpoint(base_path: str, state: dict, meta: dict):
         f.write(flax.serialization.msgpack_serialize(state))
     with open(base_path + "_meta.json", "w") as f:
         json.dump(_jsonify(meta), f, indent=1)
+
+
+def rotate_checkpoints(directory: str, keep: int,
+                       prefix: str = "checkpoint_sample") -> list:
+    """Delete all but the ``keep`` newest periodic checkpoints in
+    ``directory`` (matched by ``prefix``; the zero-padded sample count in the
+    filename makes lexicographic order == sample order). Returns the deleted
+    base paths. ``keep <= 0`` keeps everything (reference behavior:
+    painter.py:245-251 accumulates checkpoints unboundedly)."""
+    if keep <= 0:
+        return []
+    bases = sorted(
+        f[:-len("_state.msgpack")] for f in os.listdir(directory)
+        if f.startswith(prefix) and f.endswith("_state.msgpack"))
+    deleted = []
+    for base in bases[:-keep] if len(bases) > keep else []:
+        for suffix in ("_state.msgpack", "_meta.json"):
+            path = os.path.join(directory, base + suffix)
+            if os.path.exists(path):
+                os.remove(path)
+        deleted.append(base)
+    return deleted
 
 
 def load_checkpoint(base_path: str,

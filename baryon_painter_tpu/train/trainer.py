@@ -84,6 +84,7 @@ class TrainConfig:
     validation_loss_frequency: int = 100       # in samples
     validation_loss_batch_size: int = 16
     checkpoint_frequency: int = 1000           # in samples
+    keep_last_checkpoints: int = 0             # periodic ckpt rotation; 0 = keep all
     statistics_report_frequency: int = 50      # in samples; 0 = off
     stats_sync_every: int = 16                 # steps between device syncs
     mavg_window_size: int = 20
@@ -591,6 +592,7 @@ class CVAETrainer:
                 validation_stats.flush_to_file()
                 snapshot_progress()
                 self.save(ckpt_template.format(sample=n_samples))
+                ckpt.rotate_checkpoints(out_path, cfg.keep_last_checkpoints)
 
             if (cfg.statistics_report_frequency > 0
                     and n_samples - cfg.statistics_report_frequency >= last_report):

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--lambda-perceptual", type=float, default=2.5)
     p.add_argument("--device-data", action="store_true",
                    help="stage stacks in HBM and assemble batches on device")
+    p.add_argument("--keep-last-checkpoints", type=int, default=0,
+                   help="rotate periodic checkpoints, keeping only the "
+                        "newest N (0 = keep all, the reference behavior)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -64,6 +67,7 @@ def main():
                           n_pepoch=args.n_pepoch,
                           lambda_perceptual=args.lambda_perceptual,
                           output_path=args.output_path, seed=args.seed,
+                          keep_last_checkpoints=args.keep_last_checkpoints,
                           verbose=args.verbose)
     trainer = CGANTrainer(ds, config=cfg,
                           generator=CGANGenerator(n_res_blocks=args.n_res_blocks),

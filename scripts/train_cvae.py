@@ -57,6 +57,9 @@ def main():
                         "pooled batch-mean (TrainConfig.pk_loss_per_z); "
                         "the P(k) gate is per-z, a pooled loss can trade "
                         "redshifts off against each other")
+    p.add_argument("--keep-last-checkpoints", type=int, default=0,
+                   help="rotate periodic checkpoints, keeping only the "
+                        "newest N (0 = keep all, the reference behavior)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -138,6 +141,7 @@ def main():
     overrides = dict(learning_rate=args.learning_rate,
                      n_pepoch=args.n_pepoch, pepoch_size=args.pepoch_size,
                      output_path=args.output_path, seed=args.seed,
+                     keep_last_checkpoints=args.keep_last_checkpoints,
                      verbose=args.verbose)
     if args.pk_loss_weight is not None:
         overrides["pk_loss_weight"] = args.pk_loss_weight
