@@ -174,6 +174,24 @@ class DeviceStackCache:
              budget_bytes: int = 8 * 1024 ** 3, n_shards: int = 1) -> bool:
         return cls.nbytes(dataset, n_shards) <= budget_bytes
 
+    @classmethod
+    def create_if_fits(cls, dataset: BahamasTileDataset,
+                       budget_bytes: int = 8 * 1024 ** 3,
+                       mesh=None) -> Optional["DeviceStackCache"]:
+        """Budget-gated constructor shared by both trainers: returns the
+        cache, or None (with a warning) when the per-device stacks exceed
+        ``budget_bytes`` and the caller should use the host batch path."""
+        n_shards = mesh.shape["data"] if mesh is not None else 1
+        if not cls.fits(dataset, budget_bytes, n_shards=n_shards):
+            import warnings
+            warnings.warn(
+                f"device_data=True but the stacks need "
+                f"{cls.nbytes(dataset, n_shards) / 2**30:.1f} GiB/device "
+                f"(> budget {budget_bytes / 2**30:.1f} GiB); falling back "
+                "to the host batch path.", stacklevel=3)
+            return None
+        return cls(dataset, mesh=mesh)
+
     # ------------------------------------------------------------------ #
 
     def digits(self, idx: np.ndarray) -> np.ndarray:

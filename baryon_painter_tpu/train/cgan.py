@@ -35,6 +35,16 @@ __all__ = ["CGANTrainConfig", "CGANTrainer"]
 _EPS = 1e-7
 
 
+def _wmean(v, sample_weight=None):
+    """Mean of per-sample means, optionally importance-weighted along the
+    batch axis. With ``sample_weight=None`` (or all-ones) this equals
+    ``jnp.mean(v)`` exactly (every sample has the same pixel count)."""
+    if sample_weight is None:
+        return jnp.mean(v)
+    per_sample = jnp.mean(v, axis=tuple(range(1, v.ndim)))
+    return jnp.mean(sample_weight * per_sample)
+
+
 @flax.struct.dataclass
 class GANTrainState:
     g_params: Any
@@ -142,20 +152,9 @@ class CGANTrainer:
         self.device_cache = None
         if device_data:
             from baryon_painter_tpu.data.device_cache import DeviceStackCache
-            n_shards = mesh.shape["data"] if mesh is not None else 1
-            if not DeviceStackCache.fits(
-                    training_data, config.device_cache_budget_bytes,
-                    n_shards=n_shards):
-                import warnings
-                warnings.warn(
-                    f"device_data=True but the stacks need "
-                    f"{DeviceStackCache.nbytes(training_data, n_shards) / 2**30:.1f}"
-                    f" GiB/device (> budget "
-                    f"{config.device_cache_budget_bytes / 2**30:.1f}"
-                    " GiB); falling back to the host batch path.",
-                    stacklevel=3)
-            else:
-                self.device_cache = DeviceStackCache(training_data, mesh=mesh)
+            self.device_cache = DeviceStackCache.create_if_fits(
+                training_data, config.device_cache_budget_bytes, mesh=mesh)
+            if self.device_cache is not None:
                 self._train_step_digits = jax.jit(
                     self._train_step_digits_impl, donate_argnums=(0,))
                 self._train_scan = jax.jit(self._train_scan_impl,
@@ -170,16 +169,16 @@ class CGANTrainer:
             raw_label, self._stats[self._label_field], z)[..., None]
         return x.astype(jnp.float32), y.astype(jnp.float32)
 
-    def _perc(self, fake, real):
+    def _perc(self, fake, real, sample_weight=None):
         if self.config.perceptual_loss == "l1":
-            return jnp.mean(jnp.abs(fake - real))
+            return _wmean(jnp.abs(fake - real), sample_weight)
         if self.config.perceptual_loss == "l2":
-            return jnp.mean((fake - real) ** 2)
+            return _wmean((fake - real) ** 2, sample_weight)
         raise ValueError(
             f"Unknown perceptual loss '{self.config.perceptual_loss}'.")
 
     def _train_step_impl(self, state: GANTrainState, raw_input, raw_label, z,
-                         rng, lr):
+                         rng, lr, sample_weight=None):
         x, y = self._prepare(raw_input, raw_label, z)
 
         # generator forward (updates G batch stats once per step)
@@ -196,8 +195,8 @@ class CGANTrainer:
             p_fake, _ = self.discriminator.apply(
                 {"params": d_params, "batch_stats": d_mut["batch_stats"]},
                 y, z, fake_sg, train=True, mutable=["batch_stats"])
-            loss = -(jnp.mean(jnp.log(p_real + _EPS))
-                     + jnp.mean(jnp.log(1 - p_fake + _EPS)))
+            loss = -(_wmean(jnp.log(p_real + _EPS), sample_weight)
+                     + _wmean(jnp.log(1 - p_fake + _EPS), sample_weight))
             return loss, (d_mut["batch_stats"], jnp.mean(p_real),
                           jnp.mean(p_fake))
 
@@ -216,8 +215,8 @@ class CGANTrainer:
             p_fake = self.discriminator.apply(
                 {"params": d_params, "batch_stats": d_stats},
                 y, z, fake_g, train=False)
-            adv = -jnp.mean(jnp.log(p_fake + _EPS))
-            perc = self._perc(fake_g, x)
+            adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
+            perc = self._perc(fake_g, x, sample_weight)
             loss = adv + self.config.lambda_perceptual * perc
             pk = jnp.zeros(())
             if self.config.pk_loss_weight > 0:
@@ -298,9 +297,17 @@ class CGANTrainer:
 
     def _train_step_digits_impl(self, state, stacks, digits, rng, lr):
         # stacks as an explicit jit argument (see DeviceStackCache.stacks)
-        raw_input, raw_labels, z = self.device_cache.gather(digits, stacks)
+        cache = self.device_cache
+        raw_input, raw_labels, z = cache.gather(digits, stacks)
+        # mesh-sharded z sampling is non-uniform when n_z % n_dev != 0;
+        # importance weights restore the uniform-z expected G/D gradients
+        # (same compensation as CVAETrainer._train_step_digits_impl; the
+        # spectral pk term stays unweighted - per-z grouping already
+        # balances it)
+        sw = (None if cache.mesh is None or cache.uniform_z
+              else jnp.asarray(cache.z_slot_weights)[digits[:, 0]])
         return self._train_step_impl(state, raw_input, raw_labels[0], z,
-                                     rng, lr)
+                                     rng, lr, sample_weight=sw)
 
     def _train_scan_impl(self, state, stacks, digits_k, base_rng, lr_k):
         """K fused G/D steps in ONE device dispatch (lax.scan) - same

@@ -193,21 +193,9 @@ class CVAETrainer:
         self.device_cache = None
         if device_data:
             from baryon_painter_tpu.data.device_cache import DeviceStackCache
-            n_shards = mesh.shape["data"] if mesh is not None else 1
-            if not DeviceStackCache.fits(
-                    training_data, config.device_cache_budget_bytes,
-                    n_shards=n_shards):
-                import warnings
-                warnings.warn(
-                    f"device_data=True but the stacks need "
-                    f"{DeviceStackCache.nbytes(training_data, n_shards) / 2**30:.1f}"
-                    f" GiB/device (> budget "
-                    f"{config.device_cache_budget_bytes / 2**30:.1f}"
-                    " GiB); falling back to the host batch path.",
-                    stacklevel=3)
-            else:
-                self.device_cache = DeviceStackCache(training_data,
-                                                     mesh=mesh)
+            self.device_cache = DeviceStackCache.create_if_fits(
+                training_data, config.device_cache_budget_bytes, mesh=mesh)
+            if self.device_cache is not None:
                 self._train_step_digits = jax.jit(
                     self._train_step_digits_impl, donate_argnums=(0,))
                 self._train_scan = jax.jit(self._train_scan_impl,
@@ -267,11 +255,20 @@ class CVAETrainer:
 
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
                          rng, lr, alpha_var, beta_KL, sample_weight=None):
+        # BPT_REMAT=1: rematerialize the whole forward in the backward pass
+        # (trade recompute flops for stored-residual HBM traffic; the step
+        # is bandwidth-bound at ~48 flops/byte vs the 241 flops/byte v5e
+        # ridge, docs/roofline.md). Off by default - measured results in
+        # the round log decide whether it graduates.
+        def fwd(params, bstats, ri, rl, zz, rk, sw):
+            return self._forward(params, bstats, ri, rl, zz, rk, alpha_var,
+                                 beta_KL, True, sample_weight=sw)
+        if os.environ.get("BPT_REMAT"):
+            fwd = jax.checkpoint(fwd)
+
         def loss_fn(params):
-            out, updates = self._forward(params, state.batch_stats, raw_input,
-                                         raw_labels, z, rng, alpha_var,
-                                         beta_KL, True,
-                                         sample_weight=sample_weight)
+            out, updates = fwd(params, state.batch_stats, raw_input,
+                               raw_labels, z, rng, sample_weight)
             loss = -out["elbo"]
             if self.config.pk_loss_weight > 0:
                 pk = self._pk_loss(params, state.batch_stats, raw_input,

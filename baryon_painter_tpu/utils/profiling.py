@@ -15,22 +15,27 @@ import numpy as np
 __all__ = ["StepTimer", "device_trace", "device_peak_flops",
            "device_peak_bandwidth"]
 
-# Per-device-kind bf16 peak FLOP/s and HBM bandwidth (B/s), keyed by
+# Per-jax.Device bf16 peak FLOP/s and HBM bandwidth (B/s), keyed by
 # jax.Device.device_kind. Public spec-sheet numbers; extend as the fleet
 # grows. BPT_PEAK_FLOPS / BPT_PEAK_BW env vars override (VERDICT r2 weak 8:
 # a single-entry table silently NaNs MFU on any other TPU generation).
+#
+# Granularity matters: v2/v3 expose each TensorCore as its own jax.Device
+# (2 devices/chip -> per-CORE numbers here), while v4+ are megacore (one
+# jax.Device per chip -> per-CHIP numbers). Using per-core numbers for a
+# megacore device would report MFU/BW% ~2x too high.
 _PEAK_FLOPS = {
-    "TPU v2": 22.5e12, "TPU v3": 61.5e12,          # per-chip (2 cores)
-    "TPU v4": 137.5e12, "TPU v4 lite": 68.75e12,
+    "TPU v2": 22.5e12, "TPU v3": 61.5e12,          # per core (2 cores/chip)
+    "TPU v4": 275e12, "TPU v4 lite": 137.5e12,     # per chip (megacore)
     "TPU v5 lite": 197e12, "TPU v5e": 197e12,
-    "TPU v5": 229.5e12, "TPU v5p": 229.5e12,
-    "TPU v6 lite": 459e12, "TPU v6e": 459e12,
+    "TPU v5": 459e12, "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12, "TPU v6e": 918e12,
 }
 _PEAK_BW = {
-    "TPU v2": 300e9, "TPU v3": 450e9,
-    "TPU v4": 615e9, "TPU v4 lite": 615e9,
+    "TPU v2": 350e9, "TPU v3": 450e9,              # per core
+    "TPU v4": 1228e9, "TPU v4 lite": 614e9,        # per chip
     "TPU v5 lite": 819e9, "TPU v5e": 819e9,
-    "TPU v5": 1228e9, "TPU v5p": 1228e9,
+    "TPU v5": 2765e9, "TPU v5p": 2765e9,
     "TPU v6 lite": 1640e9, "TPU v6e": 1640e9,
 }
 

@@ -128,10 +128,15 @@ def main():
     cl, l_eff, _, _ = pseudo_cl_2d(np.asarray(y, np.float64), theta_deg=10.0,
                                    n_l_bin=12)
     cl, l_eff = np.asarray(cl), np.asarray(l_eff)
-    cl_ok = bool(np.all(np.isfinite(cl[~np.isnan(cl)])))
-    print(f"y-map pseudo-Cl: {np.count_nonzero(~np.isnan(cl))} bins, "
+    # The gate must fail on a degenerate map (all-NaN/inf spectrum): require
+    # a populated spectrum — NaN is legitimate only for empty low-l bins.
+    n_finite = int(np.count_nonzero(np.isfinite(cl)))
+    cl_ok = (n_finite >= max(1, cl.size // 2)
+             and not np.any(np.isinf(cl))
+             and bool(np.all(cl[np.isfinite(cl)] >= 0)))
+    print(f"y-map pseudo-Cl: {n_finite}/{cl.size} finite bins, "
           f"l=[{np.nanmin(l_eff):.0f},{np.nanmax(l_eff):.0f}] "
-          f"finite={cl_ok}", flush=True)
+          f"ok={cl_ok}", flush=True)
 
     # ---- v5e-8 budget model --------------------------------------------- #
     # Measure the two components this environment CAN measure - per-shell
@@ -197,7 +202,8 @@ def main():
                 "l_eff": [None if np.isnan(v) else round(float(v), 1)
                           for v in l_eff],
                 "cl": [None if np.isnan(v) else float(v) for v in cl],
-                "finite": cl_ok,
+                "n_finite_bins": n_finite,
+                "ok": cl_ok,
             },
             "modeled_v5e8_los_s": round(modeled, 1),
             "model_assumptions": {

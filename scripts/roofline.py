@@ -28,12 +28,13 @@ import time
 
 faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bpt_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+from baryon_painter_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache("/tmp/bpt_bench_cache")
 
 
 def log(*a):
@@ -66,7 +67,9 @@ def _fetch(out):
     enqueue n dependent iterations and fetch once."""
     import jax
     leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf).ravel()[:1]
+    # slice on-device first: np.asarray on the full leaf would transfer the
+    # whole array over the tunnel and charge it to the timed segment
+    return np.asarray(leaf.ravel()[:1])
 
 
 def bench(fn, args, n=20, warmup=3):
