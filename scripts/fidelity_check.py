@@ -217,9 +217,12 @@ def main():
     # artifacts ship with their loss history (trained_models/CVAE/fiducial/
     # training_stats.txt layout; appended across --resume phases)
     stats = None
-    if args.model == "cvae" and not args.eval_only:
+    if not args.eval_only:
         from baryon_painter_tpu.train.stats import TrainingStats
-        labels = list(trainer.model.get_stats_labels())
+        labels = (list(trainer.model.get_stats_labels())
+                  if args.model == "cvae"
+                  else ["loss_D", "loss_G_adv", "loss_G_perceptual",
+                        "D_real", "D_fake"])
         # separate file per phase: the pk fine-tune adds a loss term, and a
         # resumed TrainingStats requires an identical header
         suffix = "_pkft" if args.pk_loss_weight > 0 else ""
@@ -238,11 +241,18 @@ def main():
             return
         arrs = {key: np.asarray(v) for key, v in m.items()}
         for i in range(k):
-            vals = [float(arrs["elbo"][i]), -float(arrs["kl"][i])]
-            vals += list(arrs["log_likelihood"][i].reshape(-1))
-            if "log_likelihood_fixed_var" in arrs:
-                vals += list(arrs["log_likelihood_fixed_var"][i].reshape(-1))
-                vals += list(arrs["log_likelihood_free_var"][i].reshape(-1))
+            if args.model == "cvae":
+                vals = [float(arrs["elbo"][i]), -float(arrs["kl"][i])]
+                vals += list(arrs["log_likelihood"][i].reshape(-1))
+                if "log_likelihood_fixed_var" in arrs:
+                    vals += list(
+                        arrs["log_likelihood_fixed_var"][i].reshape(-1))
+                    vals += list(
+                        arrs["log_likelihood_free_var"][i].reshape(-1))
+            else:
+                vals = [float(arrs[key][i]) for key in
+                        ("loss_D", "loss_G_adv", "loss_G_perceptual",
+                         "D_real", "D_fake")]
             if args.pk_loss_weight > 0:
                 vals.append(float(arrs["pk_loss"][i]))
             stats.push_loss(sample_base + (done + i + 1) * args.batch, *vals)
@@ -300,6 +310,7 @@ def main():
                 pepoch = done * args.batch // 1568
                 lr = 5e-5 * (0.85 ** pepoch)
             m = trainer.step_scan(idx, lr=lr)
+            record(m, k, done)
             m = {"elbo": m["loss_G_adv"]}
             done += k
             maybe_eval(done)
