@@ -28,6 +28,32 @@ def _correlated_lognormal(rng, shape, corr_scale=4.0, sigma=1.0, mean=1.0):
     return out * (mean / out.mean())
 
 
+def _powerlaw_lognormal(rng, shape, slope=-2.2, sigma=1.0, mean=1.0,
+                        k_cut=2.0):
+    """Lognormal field whose Gaussian precursor has P(k) ∝ k^slope.
+
+    Projected BAHAMAS density slices have a steeply falling power-law
+    spectrum over the tile's dynamic range (the validation band of
+    reference validation_plotting.py:148 sits on such spectra), unlike the
+    Gaussian-bump spectrum of :func:`_correlated_lognormal`. ``k_cut``
+    suppresses the largest modes (|k| < k_cut in grid units) so single
+    tiles are not dominated by one super-tile mode.
+    """
+    white = rng.standard_normal(shape).astype(np.float32)
+    n = shape[-1]
+    f = np.fft.fftfreq(n) * n
+    k = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    amp = np.zeros_like(k)
+    nz = k > 0
+    amp[nz] = k[nz] ** (slope / 2.0)
+    amp[k < k_cut] = 0.0  # also zeroes DC
+    g = np.fft.ifft2(np.fft.fft2(white) * amp).real
+    g = (g / g.std() * sigma).astype(np.float32)
+    # exp(g - sigma^2/2) has unit mean for Gaussian g
+    out = np.exp(g - 0.5 * sigma * sigma)
+    return (out * (mean / out.mean())).astype(np.float32)
+
+
 def _smooth(x, sigma=1.5):
     n = x.shape[-1]
     f = np.fft.fftfreq(n) * n
@@ -44,7 +70,12 @@ def make_synthetic_stacks(root: str,
                           seed: int = 0,
                           name: str = "test",
                           pressure_gamma: float = 1.5,
-                          pressure_noise: float = 0.1) -> str:
+                          pressure_noise: float = 0.1,
+                          spectrum: str = "gaussian",
+                          spectrum_slope: float = -2.2,
+                          sigma0: float = 1.0,
+                          pressure_smooth: float = 1.5,
+                          pressure_noise_corr: float = 0.0) -> str:
     """Write synthetic stacks + file_info pickle under ``root``.
 
     The 'pressure' field is physically coupled to 'dm' of the same stack
@@ -52,27 +83,54 @@ def make_synthetic_stacks(root: str,
     models trained on the fixture genuinely learn a dm->pressure mapping and
     P(k) fidelity metrics are meaningful. Other fields are independent
     lognormal draws. Returns the path of the files-info pickle.
+
+    ``spectrum="powerlaw"`` selects the more BAHAMAS-like statistics:
+    density is lognormal over a Gaussian precursor with P(k) ∝ k^slope
+    (falling power law instead of the default Gaussian bump), fluctuation
+    amplitude grows toward low redshift like a growth factor
+    (sigma(z) = sigma0 / (1 + z)), pressure is smoothed over
+    ``pressure_smooth`` pixels (gas is puffier than DM), and
+    ``pressure_noise_corr`` > 0 makes the multiplicative scatter spatially
+    correlated over that many pixels (scale-dependent conditional variance —
+    the structure a conditional generative painter must actually capture).
+    The default arguments reproduce the historical fixture exactly.
     """
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    def draw_density(z, mean):
+        if spectrum == "powerlaw":
+            return _powerlaw_lognormal(rng, (n_grid, n_grid),
+                                       slope=spectrum_slope,
+                                       sigma=sigma0 / (1.0 + z), mean=mean)
+        return _correlated_lognormal(rng, (n_grid, n_grid), sigma=sigma0,
+                                     mean=mean)
+
+    def pressure_scatter(shape):
+        # float64 until the final cast — keeps the default path bit-identical
+        # to the historical fixture (committed artifacts re-evaluate on it)
+        eps = rng.standard_normal(shape)
+        if pressure_noise_corr > 0:
+            eps = _smooth(eps.astype(np.float32),
+                          sigma=pressure_noise_corr).astype(np.float64)
+            eps /= max(eps.std(), 1e-12)
+        return np.exp(pressure_noise * eps).astype(np.float32)
+
     data = {f: {z: {} for z in redshifts} for f in fields}
     for z in redshifts:
         for depth in ("100", "150"):
             dms, extras = [], {f: [] for f in fields if f not in ("dm", "pressure")}
             pressures = []
             for _ in range(n_stack):
-                dm = _correlated_lognormal(rng, (n_grid, n_grid),
-                                           sigma=1.0, mean=1.0 * (1 + z))
+                dm = draw_density(z, mean=1.0 * (1 + z))
                 dms.append(dm)
                 if "pressure" in fields:
-                    p = _smooth(dm) ** pressure_gamma
-                    p *= np.exp(pressure_noise
-                                * rng.standard_normal(dm.shape)).astype(np.float32)
+                    p = _smooth(dm, sigma=pressure_smooth) ** pressure_gamma
+                    p = np.abs(p) * pressure_scatter(dm.shape)
                     p *= 0.3 * (1 + z) / p.mean()
                     pressures.append(p.astype(np.float32))
                 for f in extras:
-                    extras[f].append(_correlated_lognormal(
-                        rng, (n_grid, n_grid), sigma=1.0, mean=0.5 * (1 + z)))
+                    extras[f].append(draw_density(z, mean=0.5 * (1 + z)))
             if "dm" in fields:
                 data["dm"][z][depth] = np.stack(dms)
             if "pressure" in fields:

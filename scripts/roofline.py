@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from baryon_painter_tpu.utils.platform import enable_compilation_cache
+from baryon_painter_tpu.utils.platform import (enable_compilation_cache,
+                                               respect_env_platform)
+
+respect_env_platform()
 
 enable_compilation_cache("/tmp/bpt_bench_cache")
 
@@ -100,7 +103,16 @@ def main():
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--out", default="docs/roofline_r03.json")
     p.add_argument("--repeats", type=int, default=20)
+    p.add_argument("--segments", default=None,
+                   help="comma-separated subset to measure: gather,prepare,"
+                        "forward,subnets,fwdbwd,update,step,paint,scan "
+                        "(default: all; prerequisites compile as needed)")
     args = p.parse_args()
+    want = (None if args.segments is None
+            else {s.strip() for s in args.segments.split(",") if s.strip()})
+
+    def sel(*names):
+        return want is None or bool(want.intersection(names))
 
     import jax
     import jax.numpy as jnp
@@ -179,19 +191,25 @@ def main():
     # --- gather ---------------------------------------------------------- #
     cache = trainer.device_cache
     stacks = cache.stacks
-    run("gather", lambda s, d: cache.gather(d, s), (stacks, digits))
+    if sel("gather"):
+        run("gather", lambda s, d: cache.gather(d, s), (stacks, digits))
 
-    raw_input, raw_labels, z = jax.jit(cache.gather)(digits, stacks)
-    raw_input, raw_labels, z = (jax.block_until_ready(raw_input),
-                                jax.block_until_ready(raw_labels),
-                                jax.block_until_ready(z))
+    need_raw = sel("prepare", "forward", "subnets", "fwdbwd", "update",
+                   "paint")
+    if need_raw:
+        raw_input, raw_labels, z = jax.jit(cache.gather)(digits, stacks)
+        raw_input, raw_labels, z = (jax.block_until_ready(raw_input),
+                                    jax.block_until_ready(raw_labels),
+                                    jax.block_until_ready(z))
 
     # --- prepare (transforms) -------------------------------------------- #
-    run("prepare", lambda ri, rl, zz: trainer._prepare(ri, rl, zz),
-        (raw_input, raw_labels, z))
+    if sel("prepare"):
+        run("prepare", lambda ri, rl, zz: trainer._prepare(ri, rl, zz),
+            (raw_input, raw_labels, z))
 
-    x, y = jax.jit(trainer._prepare)(raw_input, raw_labels, z)
-    x, y = jax.block_until_ready(x), jax.block_until_ready(y)
+    if sel("forward", "subnets", "fwdbwd", "update"):
+        x, y = jax.jit(trainer._prepare)(raw_input, raw_labels, z)
+        x, y = jax.block_until_ready(x), jax.block_until_ready(y)
 
     # --- forward (ELBO, train mode) --------------------------------------- #
     state = trainer.state
@@ -203,7 +221,8 @@ def main():
             mutable=["batch_stats"])
         return out["elbo"]
 
-    run("forward", fwd, (state.params, state.batch_stats, x, y, z, key))
+    if sel("forward"):
+        run("forward", fwd, (state.params, state.batch_stats, x, y, z, key))
 
     # --- forward subnets --------------------------------------------------- #
     def q_only(params, bstats, xx, yy, zz):
@@ -214,35 +233,36 @@ def main():
             train=True, method=f, mutable=["batch_stats"])
         return out
 
-    run("Q_net", q_only, (state.params, state.batch_stats, x, y, z))
+    if sel("subnets"):
+        run("Q_net", q_only, (state.params, state.batch_stats, x, y, z))
 
-    def prior_only(params, bstats, yy, zz):
-        def f(m, yy, zz, train=True):
-            return m.prior(yy, zz, train=train)
-        out, _ = trainer.model.apply(
-            {"params": params, "batch_stats": bstats}, yy, zz,
-            train=True, method=f, mutable=["batch_stats"])
-        return out
+        def prior_only(params, bstats, yy, zz):
+            def f(m, yy, zz, train=True):
+                return m.prior(yy, zz, train=train)
+            out, _ = trainer.model.apply(
+                {"params": params, "batch_stats": bstats}, yy, zz,
+                train=True, method=f, mutable=["batch_stats"])
+            return out
 
-    run("prior_net", prior_only, (state.params, state.batch_stats, y, z))
+        run("prior_net", prior_only, (state.params, state.batch_stats, y, z))
 
-    zmu, zlv = jax.jit(lambda p, b, xx, yy, zz: q_only(p, b, xx, yy, zz))(
-        state.params, state.batch_stats, x, y, z)
-    zlat = jax.block_until_ready(
-        jax.jit(lambda k, m, v: trainer.model.apply(
-            {"params": state.params}, k, m.astype(jnp.float32),
-            v.astype(jnp.float32), method=trainer.model.sample_z))(
-                key, zmu, zlv))
+        zmu, zlv = jax.jit(lambda p, b, xx, yy, zz: q_only(p, b, xx, yy, zz))(
+            state.params, state.batch_stats, x, y, z)
+        zlat = jax.block_until_ready(
+            jax.jit(lambda k, m, v: trainer.model.apply(
+                {"params": state.params}, k, m.astype(jnp.float32),
+                v.astype(jnp.float32), method=trainer.model.sample_z))(
+                    key, zmu, zlv))
 
-    def p_only(params, bstats, zl, yy, zz):
-        def f(m, zl, yy, zz, train=True):
-            return m.P(zl, yy, zz, train=train)
-        out, _ = trainer.model.apply(
-            {"params": params, "batch_stats": bstats}, zl, yy, zz,
-            train=True, method=f, mutable=["batch_stats"])
-        return out
+        def p_only(params, bstats, zl, yy, zz):
+            def f(m, zl, yy, zz, train=True):
+                return m.P(zl, yy, zz, train=train)
+            out, _ = trainer.model.apply(
+                {"params": params, "batch_stats": bstats}, zl, yy, zz,
+                train=True, method=f, mutable=["batch_stats"])
+            return out
 
-    run("P_net", p_only, (state.params, state.batch_stats, zlat, y, z))
+        run("P_net", p_only, (state.params, state.batch_stats, zlat, y, z))
 
     # --- fwd+bwd ----------------------------------------------------------- #
     def fwd_bwd(params, bstats, xx, yy, zz, k):
@@ -251,57 +271,77 @@ def main():
         l, g = jax.value_and_grad(loss)(params)
         return l, g
 
-    run("fwd+bwd", fwd_bwd, (state.params, state.batch_stats, x, y, z, key))
+    if sel("fwdbwd"):
+        run("fwd+bwd", fwd_bwd,
+            (state.params, state.batch_stats, x, y, z, key))
 
     # --- optimizer update -------------------------------------------------- #
-    _, grads = jax.jit(fwd_bwd)(state.params, state.batch_stats, x, y, z, key)
-    grads = jax.block_until_ready(grads)
+    if sel("update"):
+        _, grads = jax.jit(fwd_bwd)(state.params, state.batch_stats,
+                                    x, y, z, key)
+        grads = jax.block_until_ready(grads)
 
-    def upd(g, os_, params):
-        d, os2 = trainer.optimizer.update(g, os_, params)
-        import optax
-        d = jax.tree.map(lambda u: lr * u, d)
-        return optax.apply_updates(params, d), os2
+        def upd(g, os_, params):
+            d, os2 = trainer.optimizer.update(g, os_, params)
+            import optax
+            d = jax.tree.map(lambda u: lr * u, d)
+            return optax.apply_updates(params, d), os2
 
-    run("update", upd, (grads, state.opt_state, state.params))
+        run("update", upd, (grads, state.opt_state, state.params))
 
     # --- full single step --------------------------------------------------- #
-    def full_step(st, s, d, k):
-        return trainer._train_step_digits_impl(st, s, d, k, lr, one, one)
+    if sel("step"):
+        def full_step(st, s, d, k):
+            return trainer._train_step_digits_impl(st, s, d, k, lr, one, one)
 
-    run("step", full_step, (state, stacks, digits, key))
+        run("step", full_step, (state, stacks, digits, key))
+
+    # --- paint (the lightcone inference path) ------------------------------ #
+    # transform -> prior sample -> decode -> inverse transform on a tile
+    # batch: the per-shell compute unit of scripts/bench_lightcone.py.
+    if sel("paint"):
+        from baryon_painter_tpu.painter import CVAEPainter
+        painter = CVAEPainter.from_trainer(trainer)
+        tiles = jnp.asarray(np.asarray(raw_input, np.float32))
+
+        def paint(v, t, zz, k):
+            return painter._paint_fn(v, t, zz, k, transform=True,
+                                     inverse_transform=True)
+
+        run("paint", paint, (painter.variables, tiles, z, key))
 
     # --- the 25-step scan (what the trainer dispatches) --------------------- #
-    K = 25
-    digits_k = jnp.asarray(np.stack(
-        [trainer.device_cache.digits(ds.sample_indices(rng, B))
-         for _ in range(K)]))
-    steps = jnp.arange(K)
-    ones_k = jnp.ones((K,), jnp.float32)
+    if sel("scan"):
+        K = 25
+        digits_k = jnp.asarray(np.stack(
+            [trainer.device_cache.digits(ds.sample_indices(rng, B))
+             for _ in range(K)]))
+        steps = jnp.arange(K)
+        ones_k = jnp.ones((K,), jnp.float32)
 
-    def scan_fn(st, s, dk, sk, k):
-        return trainer._train_scan_impl(st, s, (dk, sk), k, ones_k * 1e-3,
-                                        ones_k, ones_k)
+        def scan_fn(st, s, dk, sk, k):
+            return trainer._train_scan_impl(st, s, (dk, sk), k, ones_k * 1e-3,
+                                            ones_k, ones_k)
 
-    t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
-                           n=max(3, args.repeats // 4))
-    # XLA cost_analysis counts a scan/while BODY once regardless of trip
-    # count (verified: the K-step scan reports the same flops as one
-    # fwd+bwd), so `fl`/`by` here already ARE per-step numbers and the
-    # per-step MFU/BW divide by t_scan/K, not t_scan.
-    t_step = t_scan / K
-    results["scan25"] = {
-        "ms": round(t_scan * 1e3, 2),
-        "ms_per_step": round(t_step * 1e3, 3),
-        "gflops_per_step": None if np.isnan(fl) else round(fl / 1e9, 2),
-        "mbytes_per_step": None if np.isnan(by) else round(by / 1e6, 1),
-        "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_step / peak_f, 2),
-        "bw_pct": None if np.isnan(by) else round(100 * by / t_step / peak_b, 1),
-    }
-    r = results["scan25"]
-    log(f"{'scan25':>10s}: {r['ms_per_step']:8.2f} ms/step  "
-        f"flops/step={r['gflops_per_step']} G  bytes/step={r['mbytes_per_step']} MB  "
-        f"MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
+        t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
+                               n=max(3, args.repeats // 4))
+        # XLA cost_analysis counts a scan/while BODY once regardless of trip
+        # count (verified: the K-step scan reports the same flops as one
+        # fwd+bwd), so `fl`/`by` here already ARE per-step numbers and the
+        # per-step MFU/BW divide by t_scan/K, not t_scan.
+        t_step = t_scan / K
+        results["scan25"] = {
+            "ms": round(t_scan * 1e3, 2),
+            "ms_per_step": round(t_step * 1e3, 3),
+            "gflops_per_step": None if np.isnan(fl) else round(fl / 1e9, 2),
+            "mbytes_per_step": None if np.isnan(by) else round(by / 1e6, 1),
+            "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_step / peak_f, 2),
+            "bw_pct": None if np.isnan(by) else round(100 * by / t_step / peak_b, 1),
+        }
+        r = results["scan25"]
+        log(f"{'scan25':>10s}: {r['ms_per_step']:8.2f} ms/step  "
+            f"flops/step={r['gflops_per_step']} G  bytes/step={r['mbytes_per_step']} MB  "
+            f"MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
 
     report = {"device_kind": kind, "tile": args.tile, "batch": B,
               "peak_flops": peak_f, "peak_bw": peak_b,
@@ -312,11 +352,17 @@ def main():
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     log(f"wrote {args.out}")
-    print(json.dumps({"metric": "roofline_step_ms",
-                      "value": results["scan25"]["ms_per_step"],
-                      "unit": "ms/step",
-                      "mfu_pct": results["scan25"]["mfu_pct"],
-                      "bw_pct": results["scan25"]["bw_pct"]}))
+    headline = results.get("scan25") or results.get("step")
+    if headline is not None:
+        print(json.dumps({"metric": "roofline_step_ms",
+                          "value": headline.get("ms_per_step",
+                                                headline.get("ms")),
+                          "unit": "ms/step",
+                          "mfu_pct": headline["mfu_pct"],
+                          "bw_pct": headline["bw_pct"]}))
+    else:
+        print(json.dumps({"metric": "roofline_segments",
+                          "value": len(results), "unit": "segments"}))
 
 
 if __name__ == "__main__":
