@@ -154,7 +154,10 @@ def main():
                    ).block_until_ready()
     t_h2d_here = time.time() - t0
 
+    from baryon_painter_tpu.lightcone.tiling import generate_tiling
+
     t_compute = 0.0
+    n_tiles_total = 0
     per_shell = []
     for i, z in enumerate(z_arr):
         if delta_size[i] < 100.0:
@@ -162,6 +165,8 @@ def main():
                               "device_ms": None})
             continue  # low-z massplane shells are single-tile, negligible
         n_px = int(delta_size[i] / 100.0 * 512)
+        origins, _ = generate_tiling(n_px, 512, min_tile_overlap=0.2)
+        n_tiles = len(origins) ** 2
         plane_dev = jnp.asarray(np.zeros((n_px, n_px), np.float32))
         paint_plane(painter, plane_dev, float(z_slice[i]), 100.0,
                     float(delta_size[i]), 512, min_tile_overlap=0.2)
@@ -171,10 +176,15 @@ def main():
                                min_tile_overlap=0.2))
         dt = time.time() - t0
         t_compute += dt
+        n_tiles_total += n_tiles
         per_shell.append({"z": float(z), "kind": "delta",
-                          "n_pixel_plane": n_px,
+                          "n_pixel_plane": n_px, "n_tiles": n_tiles,
                           "device_ms": round(dt * 1e3, 1)})
     n_hi = int(np.sum(delta_size >= 100.0))
+    # BASELINE.md headline metric: 512^2 tiles painted / sec / chip
+    tiles_per_sec = n_tiles_total / t_compute if t_compute else 0.0
+    print(f"painted {n_tiles_total} 512^2 tiles in {t_compute:.2f}s device "
+          f"compute = {tiles_per_sec:.1f} tiles/s/chip", flush=True)
     per_shell_io_v5e8 = plane_bytes / 2e9 + plane_bytes / 10e9  # NVMe + PCIe
     modeled = sum(max(per_shell_io_v5e8, (t_compute / n_hi) / 8)
                   for _ in range(n_hi)) + 2.0  # +2s massplane shells / misc
@@ -197,6 +207,8 @@ def main():
             "steady_los_s": round(t_steady, 1),
             "per_shell": per_shell,
             "per_shell_compute_mean_s": round(t_compute / n_hi, 3),
+            "tiles_painted": n_tiles_total,
+            "tiles_per_sec_per_chip": round(tiles_per_sec, 2),
             "tunnel_h2d_per_plane_s": round(t_h2d_here, 3),
             "ymap_pseudo_cl": {
                 "l_eff": [None if np.isnan(v) else round(float(v), 1)

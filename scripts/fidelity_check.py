@@ -73,6 +73,13 @@ def main():
                         "(useful when the conditional is nearly deterministic)")
     p.add_argument("--alpha-var", type=float, default=1.0)
     p.add_argument("--pressure-noise", type=float, default=0.1)
+    p.add_argument("--physical", action="store_true",
+                   help="use the BAHAMAS-like synthetic statistics "
+                        "(powerlaw-lognormal density, growth-like z "
+                        "evolution, smoothed pressure with correlated "
+                        "scatter) instead of the Gaussian-bump default — a "
+                        "harder, more physical dm->pressure mapping for the "
+                        "5%% gate")
     p.add_argument("--upsample", default="transpose",
                    choices=["transpose", "resize"])
     p.add_argument("--pk-loss-weight", type=float, default=0.0,
@@ -123,10 +130,13 @@ def main():
     from baryon_painter_tpu.transforms import RangeCompress
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    physical_kw = (dict(spectrum="powerlaw", sigma0=1.2, pressure_smooth=2.0,
+                        pressure_noise_corr=2.0) if args.physical else {})
     info = make_synthetic_stacks(args.workdir, n_stack=args.n_stack,
                                  n_grid=2 * args.tile,
                                  redshifts=redshifts, seed=args.seed,
-                                 name="fid", pressure_noise=args.pressure_noise)
+                                 name="fid", pressure_noise=args.pressure_noise,
+                                 **physical_kw)
     transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
                   "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
     train_ds = BahamasTileDataset(files=load_file_info(info),
@@ -355,6 +365,7 @@ def main():
         "auto": round(auto1, 4), "cross": round(cross1, 4),
         "n_samples": 0 if args.eval_only else args.n_samples,
         "tile": args.tile,
+        "physical_stats": bool(args.physical),
         "train_seconds": 0.0 if args.eval_only else round(dt, 1),
         "samples_per_sec": (0.0 if args.eval_only
                             else round(args.n_samples / dt, 1)),
