@@ -255,16 +255,26 @@ class CVAETrainer:
 
     def _train_step_impl(self, state: TrainState, raw_input, raw_labels, z,
                          rng, lr, alpha_var, beta_KL, sample_weight=None):
-        # BPT_REMAT=1: rematerialize the whole forward in the backward pass
-        # (trade recompute flops for stored-residual HBM traffic; the step
-        # is bandwidth-bound at ~48 flops/byte vs the 241 flops/byte v5e
+        # BPT_REMAT: rematerialize the forward in the backward pass (trade
+        # recompute flops for stored-residual HBM traffic; the step is
+        # bandwidth-bound at ~48 flops/byte vs the 241 flops/byte v5e
         # ridge, docs/roofline.md). Off by default - measured results in
-        # the round log decide whether it graduates.
+        # the round log decide whether it graduates. Values:
+        #   1 / full       -> jax.checkpoint with nothing saved
+        #   dots           -> save MXU results, recompute elementwise/norm
+        #                     (the cheap-to-recompute, byte-heavy part)
+        #   dots_no_batch  -> save only batch-independent dot products
         def fwd(params, bstats, ri, rl, zz, rk, sw):
             return self._forward(params, bstats, ri, rl, zz, rk, alpha_var,
                                  beta_KL, True, sample_weight=sw)
-        if os.environ.get("BPT_REMAT"):
-            fwd = jax.checkpoint(fwd)
+        remat = os.environ.get("BPT_REMAT")
+        if remat:
+            policy = {
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            }.get(remat)
+            fwd = jax.checkpoint(fwd, policy=policy)
 
         def loss_fn(params):
             out, updates = fwd(params, state.batch_stats, raw_input,
