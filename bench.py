@@ -29,6 +29,9 @@ def log(*a):
 
 def main():
     import jax
+
+    from baryon_painter_tpu.utils.platform import respect_env_platform
+    respect_env_platform()  # lets JAX_PLATFORMS=cpu override the TPU backend
     from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
                                                  load_file_info)
     from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
