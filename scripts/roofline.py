@@ -99,6 +99,9 @@ def bench(fn, args, n=20, warmup=3):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="cvae", choices=["cvae", "cgan"],
+                   help="cvae: full segment suite; cgan: the fused G/D "
+                        "adversarial step (gather/prepare/step/scan only)")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--out", default="docs/roofline_r03.json")
@@ -143,9 +146,23 @@ def main():
         transforms={"dm": RangeCompress("shift-log", 4.0),
                     "pressure": RangeCompress("shift-log", 4.0)})
     log("dataset ready; building trainer (model init compile)...")
-    arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
-    trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), ds,
-                          config=TrainConfig(seed=0), device_data=True)
+    if args.model == "cgan":
+        from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
+                                                    CGANGenerator)
+        from baryon_painter_tpu.train.cgan import (CGANTrainConfig,
+                                                   CGANTrainer)
+        trainer = CGANTrainer(ds, generator=CGANGenerator(),
+                              discriminator=CGANDiscriminator(),
+                              config=CGANTrainConfig(seed=0,
+                                                     batch_size=args.batch),
+                              device_data=True)
+        # CVAE-internal segments don't exist on the adversarial trainer
+        cgan_segments = {"gather", "step", "scan"}
+        want = cgan_segments if want is None else want & cgan_segments
+    else:
+        arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
+        trainer = CVAETrainer(CVAE(arch, dtype=jnp.bfloat16), ds,
+                              config=TrainConfig(seed=0), device_data=True)
     log("trainer ready")
 
     rng = np.random.default_rng(1)
@@ -291,10 +308,15 @@ def main():
 
     # --- full single step --------------------------------------------------- #
     if sel("step"):
-        def full_step(st, s, d, k):
-            return trainer._train_step_digits_impl(st, s, d, k, lr, one, one)
-
-        run("step", full_step, (state, stacks, digits, key))
+        if args.model == "cgan":
+            def full_step(st, s, d, k):
+                return trainer._train_step_digits_impl(st, s, d, k, lr)
+            run("step", full_step, (trainer.state, stacks, digits, key))
+        else:
+            def full_step(st, s, d, k):
+                return trainer._train_step_digits_impl(st, s, d, k, lr,
+                                                       one, one)
+            run("step", full_step, (state, stacks, digits, key))
 
     # --- paint (the lightcone inference path) ------------------------------ #
     # transform -> prior sample -> decode -> inverse transform on a tile
@@ -319,9 +341,14 @@ def main():
         steps = jnp.arange(K)
         ones_k = jnp.ones((K,), jnp.float32)
 
-        def scan_fn(st, s, dk, sk, k):
-            return trainer._train_scan_impl(st, s, (dk, sk), k, ones_k * 1e-3,
-                                            ones_k, ones_k)
+        if args.model == "cgan":
+            def scan_fn(st, s, dk, sk, k):
+                return trainer._train_scan_impl(st, s, (dk, sk), k,
+                                                ones_k * 1e-3)
+        else:
+            def scan_fn(st, s, dk, sk, k):
+                return trainer._train_scan_impl(st, s, (dk, sk), k,
+                                                ones_k * 1e-3, ones_k, ones_k)
 
         t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
                                n=max(3, args.repeats // 4))
@@ -354,12 +381,14 @@ def main():
     log(f"wrote {args.out}")
     headline = results.get("scan25") or results.get("step")
     if headline is not None:
+        def _num(v):
+            return None if (v is None or np.isnan(v)) else v
         print(json.dumps({"metric": "roofline_step_ms",
                           "value": headline.get("ms_per_step",
                                                 headline.get("ms")),
                           "unit": "ms/step",
-                          "mfu_pct": headline["mfu_pct"],
-                          "bw_pct": headline["bw_pct"]}))
+                          "mfu_pct": _num(headline["mfu_pct"]),
+                          "bw_pct": _num(headline["bw_pct"])}))
     else:
         print(json.dumps({"metric": "roofline_segments",
                           "value": len(results), "unit": "segments"}))
