@@ -461,7 +461,10 @@ class SpecSequential(nn.Module):
                                         dtype=self.dtype))
                 x = m(x, **sn_kw) if sn_kw else m(x)
             elif lname == "batchnorm":
-                bn_cls = (nn.BatchNorm if os.environ.get("BPT_FLAX_BN")
+                # "0"/""/"false" mean off, matching BPT_DISABLE_CONV_REWRITES
+                bn_cls = (nn.BatchNorm
+                          if os.environ.get("BPT_FLAX_BN", "").lower()
+                          not in ("", "0", "false")
                           else BatchNorm)
                 x = bn_cls(use_running_average=not train,
                            momentum=0.9, epsilon=1e-5,

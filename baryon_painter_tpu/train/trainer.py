@@ -269,12 +269,17 @@ class CVAETrainer:
                                  beta_KL, True, sample_weight=sw)
         remat = os.environ.get("BPT_REMAT")
         if remat:
-            policy = {
+            policies = {
+                "1": None, "full": None,
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch":
                     jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-            }.get(remat)
-            fwd = jax.checkpoint(fwd, policy=policy)
+            }
+            if remat not in policies:
+                raise ValueError(
+                    f"BPT_REMAT={remat!r}: use one of {sorted(policies)} "
+                    f"(a typo here would silently measure full remat)")
+            fwd = jax.checkpoint(fwd, policy=policies[remat])
 
         def loss_fn(params):
             out, updates = fwd(params, state.batch_stats, raw_input,

@@ -46,10 +46,12 @@ def _lookup(table: Dict[str, float], kind: str, env: str) -> float:
         return float(os.environ[env])
     if kind in table:
         return table[kind]
-    # prefix match ("TPU v5 lite chip" style kind strings)
-    for k, v in table.items():
-        if kind.startswith(k):
-            return v
+    # prefix match ("TPU v5 lite chip" style kind strings); prefer the
+    # LONGEST key so "TPU v4" cannot shadow "TPU v4 lite"
+    best = max((k for k in table if kind.startswith(k)),
+               key=len, default=None)
+    if best is not None:
+        return table[best]
     return float("nan")
 
 

@@ -49,23 +49,26 @@ def _param_count(state_path):
 
 
 def _load_stats(path):
-    """Parse a reference-format stats file -> (terms, samples, columns)."""
-    with open(path) as f:
-        header = f.readline()
-    terms = [t.strip() for t in header.lstrip("# ").split(",")[2:]]
-    rows = np.loadtxt(path, ndmin=2)
-    if rows.size == 0:
+    """Parse a reference-format stats file -> (terms, samples, columns).
+
+    Delegates to the torn-row-tolerant parser (a crash can leave a partial
+    final line; np.loadtxt would raise on it). A header-only file yields
+    empty arrays instead of an error so report generation skips the panel."""
+    from baryon_painter_tpu.train.stats_compare import load_stats_file
+    try:
+        return load_stats_file(path)
+    except ValueError:
+        with open(path) as f:
+            header = f.readline()
+        terms = [t.strip() for t in header.lstrip("# ").split(",")[2:]]
         return terms, np.zeros(0), np.zeros((0, len(terms)))
-    return terms, rows[:, 1], rows[:, 2:]
 
 
 def _mavg(x, w=100):
     if len(x) == 0:
-        return x
-    c = np.cumsum(np.insert(np.asarray(x, np.float64), 0, 0.0))
-    n = np.arange(1, len(x) + 1)
-    win = np.minimum(n, w)
-    return (c[n] - c[n - win]) / win
+        return np.asarray(x, np.float64)
+    from baryon_painter_tpu.train.stats_compare import _moving_average
+    return _moving_average(x, w)
 
 
 def plot_losses(model_dir, stats_files):
