@@ -9,22 +9,69 @@ of an error-prone manual copy.
 
     python scripts/promote_checkpoint.py --workdir /tmp/bpt_fid_cgan_r3 \
         --model cgan --dest trained_models/CGAN/fiducial-resize \
-        --eval-args "--tile 512 --redshifts 0,...,2 --n-stack 4 --upsample resize"
+        --eval-args "--redshifts 0,...,2 --n-stack 4 --upsample resize"
 
 ``--eval-args`` are passed through to fidelity_check.py --eval-only; they
 must reproduce the run's dataset geometry (the same flags the training
-phases used; see trained_models/README.md recipes).
+phases used; see trained_models/README.md recipes). ``--tile`` is derived
+from the checkpoint's own metadata and cross-checked against any explicit
+value.
+
+The promoted ``model_state.msgpack`` is stripped to inference state
+(params / batch stats / step — no optimizer moments, progress counters or
+data-RNG), matching the committed trained_models contract
+(trained_models/README.md: "parameters only, no optimizer state").
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import shlex
 import shutil
 import subprocess
 import sys
 
 SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+
+# training-only keys stripped from promoted checkpoints; the committed
+# artifacts carry inference state only (see trained_models/README.md)
+_TRAIN_ONLY_KEYS = ("opt_state", "g_opt", "d_opt", "progress", "data_rng")
+
+
+def _strip_train_state(src: str, dst: str) -> list:
+    """Copy a _state.msgpack, dropping optimizer/progress/RNG entries."""
+    import flax.serialization
+
+    with open(src, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    dropped = [k for k in _TRAIN_ONLY_KEYS if k in raw]
+    for k in dropped:
+        del raw[k]
+    with open(dst, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(raw))
+    return dropped
+
+
+def _pick_base(workdir: str, model: str) -> str:
+    """Choose the checkpoint base to promote.
+
+    fidelity_check.py persists the best-gate state to ``<base>_best``
+    mid-run and only rewrites ``<base>`` at normal completion — after a
+    crashed refinement run the plain base is stale. Prefer whichever
+    exists; when both do, prefer the newer file and say so.
+    """
+    base = os.path.join(workdir, f"fidelity_model_{model}")
+    cands = [b for b in (base, base + "_best")
+             if os.path.exists(b + "_state.msgpack")]
+    if not cands:
+        raise SystemExit(f"no checkpoint at {base}_state.msgpack")
+    chosen = max(cands, key=lambda b: os.path.getmtime(b + "_state.msgpack"))
+    if len(cands) == 2:
+        other = next(b for b in cands if b != chosen)
+        print(f"promoting {chosen} (newer than {other})",
+              file=sys.stderr, flush=True)
+    return chosen
 
 
 def main(argv=None):
@@ -39,11 +86,30 @@ def main(argv=None):
     p.add_argument("--skip-eval", action="store_true",
                    help="copy artifacts without the re-evaluation pass "
                         "(no fidelity_report.json provenance)")
+    p.add_argument("--checkpoint", choices=["auto", "base", "best"],
+                   default="auto",
+                   help="which workdir checkpoint to promote: the final "
+                        "save, the mid-run best-gate save, or whichever "
+                        "is newer (default)")
+    p.add_argument("--force", action="store_true",
+                   help="allow overwriting an existing promoted model "
+                        "directory")
     args = p.parse_args(argv)
 
-    ckpt = os.path.join(args.workdir, f"fidelity_model_{args.model}")
-    if not os.path.exists(ckpt + "_state.msgpack"):
-        raise SystemExit(f"no checkpoint at {ckpt}_state.msgpack")
+    if args.checkpoint == "auto":
+        ckpt = _pick_base(args.workdir, args.model)
+    else:
+        suffix = "" if args.checkpoint == "base" else "_best"
+        ckpt = os.path.join(args.workdir,
+                            f"fidelity_model_{args.model}{suffix}")
+        if not os.path.exists(ckpt + "_state.msgpack"):
+            raise SystemExit(f"no checkpoint at {ckpt}_state.msgpack")
+
+    dest_state = os.path.join(args.dest, "model_state.msgpack")
+    if os.path.exists(dest_state) and not args.force:
+        raise SystemExit(
+            f"{args.dest} already holds a promoted model; pass --force to "
+            "overwrite it (refusing to clobber committed artifacts)")
     os.makedirs(args.dest, exist_ok=True)
 
     copied = []
@@ -53,7 +119,11 @@ def main(argv=None):
             shutil.copy2(src, os.path.join(args.dest, dst_name))
             copied.append(dst_name)
 
-    take(ckpt + "_state.msgpack", "model_state.msgpack")
+    dropped = _strip_train_state(ckpt + "_state.msgpack", dest_state)
+    copied.append("model_state.msgpack")
+    if dropped:
+        print(f"stripped training-only state: {', '.join(dropped)}",
+              file=sys.stderr, flush=True)
     take(ckpt + "_meta.json", "model_meta.json")
     take(os.path.join(args.workdir, f"training_stats_{args.model}.txt"),
          "training_stats.txt")
@@ -63,13 +133,33 @@ def main(argv=None):
         take(os.path.join(args.workdir, f"{args.model}_{fig}.png"),
              f"{args.model}_{fig}.png")
 
+    # cross-check the eval flags against the checkpoint's own metadata so a
+    # forgotten geometry flag cannot commit a misleading fidelity report
+    eval_args = shlex.split(args.eval_args)
+    with open(os.path.join(args.dest, "model_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("model_kind", args.model) != args.model:
+        raise SystemExit(f"--model {args.model} but the checkpoint's "
+                         f"metadata says {meta['model_kind']!r}")
+    tile = int(meta["tile_size"])
+    if "--tile" in eval_args:
+        given = int(eval_args[eval_args.index("--tile") + 1])
+        if given != tile:
+            raise SystemExit(f"--eval-args says --tile {given} but the "
+                             f"checkpoint was trained at tile {tile}")
+    else:
+        eval_args += ["--tile", str(tile)]
+
     if not args.skip_eval:
         cmd = [sys.executable, os.path.join(SCRIPTS, "fidelity_check.py"),
                "--model", args.model, "--eval-only",
                "--checkpoint", os.path.join(args.dest, "model"),
-               "--workdir", args.workdir, *args.eval_args.split()]
+               "--workdir", args.workdir, *eval_args]
         print("re-evaluating:", " ".join(cmd), file=sys.stderr, flush=True)
-        out = subprocess.run(cmd, check=True, capture_output=True, text=True)
+        # capture stdout (the JSON report) only; let stderr stream so eval
+        # progress and any failure diagnostics stay visible
+        out = subprocess.run(cmd, check=True, stdout=subprocess.PIPE,
+                             text=True)
         report = json.loads(out.stdout.strip().splitlines()[-1])
         with open(os.path.join(args.dest, "fidelity_report.json"), "w") as f:
             json.dump(report, f, indent=1)
@@ -82,7 +172,9 @@ def main(argv=None):
     subprocess.run([sys.executable,
                     os.path.join(SCRIPTS, "make_model_report.py"),
                     args.dest], check=True)
-    copied.append("report.md")
+    for generated in ("report.md", "loss_curves.png"):
+        if os.path.exists(os.path.join(args.dest, generated)):
+            copied.append(generated)
     print(json.dumps({"dest": args.dest, "files": copied}))
 
 
