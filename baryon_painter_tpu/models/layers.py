@@ -88,8 +88,12 @@ class Conv2d(nn.Module):
         # vs 115.9 ms / 79.5 GB with r=2 first), despite a larger 3x3-window
         # kernel expansion. BPT_S2D_ORDER=24 flips the preference for
         # experiments.
-        _order = ((2, 4) if os.environ.get("BPT_S2D_ORDER", "42") == "24"
-                  else (4, 2))
+        _order_env = os.environ.get("BPT_S2D_ORDER", "42")
+        if _order_env not in ("42", "24"):
+            # a typo here would silently measure the default order
+            raise ValueError(
+                f"BPT_S2D_ORDER={_order_env!r}: expected '42' or '24'")
+        _order = (2, 4) if _order_env == "24" else (4, 2)
         r = next((r for r in _order
                   if _cr.s2d_rewrite_applicable(k, s, p, x.shape[1],
                                                 x.shape[2], cin, r)

@@ -15,7 +15,35 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["TrainingStats"]
+__all__ = ["TrainingStats", "parse_stats_file"]
+
+
+def parse_stats_file(path: str):
+    """Parse a reference-format stats file into ``(terms, samples, rows)``.
+
+    ``terms`` is the ordered column-name list after the two index columns;
+    ``samples`` the cumulative sample counts; ``rows`` the per-row value
+    lists. Torn trailing rows (crash artifacts) are skipped. A header-only
+    file (crash before the first flush) parses to zero rows.
+
+    The single parser for the on-disk format — used both by resume
+    (:meth:`TrainingStats._resume_from_file`) and by the trajectory
+    comparator (:mod:`baryon_painter_tpu.train.stats_compare`), so the two
+    can never drift apart.
+    """
+    with open(path) as f:
+        lines = f.read().splitlines()
+    if not lines or not lines[0].startswith("#"):
+        raise ValueError(f"{path} is not a stats file (no '#' header).")
+    terms = [t.strip() for t in lines[0].lstrip("# ").split(",")[2:]]
+    samples, rows = [], []
+    for line in lines[1:]:
+        parts = line.split()
+        if len(parts) != 2 + len(terms):
+            continue
+        samples.append(int(float(parts[1])))
+        rows.append([float(v) for v in parts[2:]])
+    return terms, samples, rows
 
 
 class TrainingStats:
@@ -46,21 +74,13 @@ class TrainingStats:
                         ", ".join(loss_terms)))
 
     def _resume_from_file(self, filename: str):
-        with open(filename) as f:
-            lines = f.read().splitlines()
-        if not lines or not lines[0].startswith("#"):
-            raise ValueError(f"{filename} is not a stats file (no header).")
-        header_terms = [t.strip() for t in
-                        lines[0].lstrip("# ").split(",")[2:]]
+        header_terms, samples, rows = parse_stats_file(filename)
         if header_terms != list(self.loss_terms):
             raise ValueError(
                 f"Stats file {filename} terms {header_terms} do not match "
                 f"the current run's {list(self.loss_terms)}.")
-        for line in lines[1:]:
-            parts = line.split()
-            if len(parts) != 2 + len(self.loss_terms):
-                continue  # tolerate a torn final row from a crash
-            self._push(int(parts[1]), [float(v) for v in parts[2:]])
+        for n_sample, vals in zip(samples, rows):
+            self._push(n_sample, vals)
         self.last_dump_to_file = self.n_batches
 
     def _push(self, n_sample: int, values):

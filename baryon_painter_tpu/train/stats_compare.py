@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from baryon_painter_tpu.train.stats import parse_stats_file
+
 __all__ = ["load_stats_file", "compare_trajectories"]
 
 
@@ -38,21 +40,10 @@ def load_stats_file(path):
     Returns ``(terms, samples, values)`` where ``terms`` is the ordered list
     of column names after the two index columns, ``samples`` is the int array
     of cumulative sample counts, and ``values`` is a (n_rows, n_terms) float
-    array. Torn trailing rows (crash artifacts) are skipped, matching
-    TrainingStats._resume_from_file.
+    array. Delegates to :func:`~baryon_painter_tpu.train.stats.parse_stats_file`
+    (the same parser resume uses), then requires at least one complete row.
     """
-    with open(path) as f:
-        lines = f.read().splitlines()
-    if not lines or not lines[0].startswith("#"):
-        raise ValueError(f"{path} is not a stats file (no '#' header).")
-    terms = [t.strip() for t in lines[0].lstrip("# ").split(",")[2:]]
-    samples, rows = [], []
-    for line in lines[1:]:
-        parts = line.split()
-        if len(parts) != 2 + len(terms):
-            continue
-        samples.append(int(float(parts[1])))
-        rows.append([float(v) for v in parts[2:]])
+    terms, samples, rows = parse_stats_file(path)
     if not rows:
         raise ValueError(f"{path} has a header but no complete data rows.")
     return terms, np.asarray(samples), np.asarray(rows)

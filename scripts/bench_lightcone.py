@@ -206,7 +206,8 @@ def main():
             "first_los_s": round(t_first, 1),
             "steady_los_s": round(t_steady, 1),
             "per_shell": per_shell,
-            "per_shell_compute_mean_s": round(t_compute / n_hi, 3),
+            "per_shell_compute_mean_s": (round(t_compute / n_hi, 3)
+                                         if n_hi else None),
             "tiles_painted": n_tiles_total,
             "tiles_per_sec_per_chip": round(tiles_per_sec, 2),
             "tunnel_h2d_per_plane_s": round(t_h2d_here, 3),

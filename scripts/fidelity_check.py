@@ -229,10 +229,13 @@ def main():
     stats = None
     if not args.eval_only:
         from baryon_painter_tpu.train.stats import TrainingStats
+        # single source of truth for the CGAN term order: the trainer's own
+        # label list (minus its trailing lr/batch_size bookkeeping columns),
+        # so a metrics change cannot desync the shipped stats headers
+        cgan_terms = (None if args.model == "cvae"
+                      else list(trainer.stats_labels()[:-2]))
         labels = (list(trainer.model.get_stats_labels())
-                  if args.model == "cvae"
-                  else ["loss_D", "loss_G_adv", "loss_G_perceptual",
-                        "D_real", "D_fake"])
+                  if args.model == "cvae" else list(cgan_terms))
         # separate file per phase: the pk fine-tune adds a loss term, and a
         # resumed TrainingStats requires an identical header
         suffix = "_pkft" if args.pk_loss_weight > 0 else ""
@@ -260,9 +263,7 @@ def main():
                     vals += list(
                         arrs["log_likelihood_free_var"][i].reshape(-1))
             else:
-                vals = [float(arrs[key][i]) for key in
-                        ("loss_D", "loss_G_adv", "loss_G_perceptual",
-                         "D_real", "D_fake")]
+                vals = [float(arrs[key][i]) for key in cgan_terms]
             if args.pk_loss_weight > 0:
                 vals.append(float(arrs["pk_loss"][i]))
             stats.push_loss(sample_base + (done + i + 1) * args.batch, *vals)
@@ -318,7 +319,7 @@ def main():
                 lr = args.lr
             else:
                 pepoch = done * args.batch // 1568
-                lr = 5e-5 * (0.85 ** pepoch)
+                lr = args.lr * (0.85 ** pepoch)
             m = trainer.step_scan(idx, lr=lr)
             record(m, k, done)
             m = {"elbo": m["loss_G_adv"]}

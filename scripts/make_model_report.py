@@ -82,7 +82,9 @@ def plot_losses(model_dir, stats_files):
         phase = ("spectral fine-tune" if path.endswith("_pkft.txt")
                  else "base training")
         for term in ("ELBO", "KL_term", "pk_loss", "loss_G", "loss_D"):
-            if term in terms:
+            if term in terms and len(samples):
+                # header-only files (crash before the first flush) contribute
+                # zero-length columns; a panel for them would crash vals.max()
                 panels.append((phase, term, samples, cols[:, terms.index(term)]))
     if not panels:
         return None

@@ -46,6 +46,23 @@ def test_report_from_synthetic_artifacts(tmp_path):
     assert (d / "loss_curves.png").exists()
 
 
+def test_report_tolerates_header_only_stats(tmp_path):
+    """A run that crashed before its first stats flush leaves a header-only
+    file; the loss panel must be skipped, not crash on an empty column."""
+    mod = _load_module()
+    d = tmp_path / "CVAE" / "crashed"
+    d.mkdir(parents=True)
+    (d / "model_meta.json").write_text(json.dumps({
+        "model_kind": "cvae", "tile_size": 64, "tile_L": 100.0,
+        "input_field": "dm", "label_fields": ["pressure"],
+        "model_architecture": {"dim_z": [1, 4, 4]}}))
+    (d / "training_stats.txt").write_text(
+        "# Batch nr, sample nr, ELBO, KL_term\n")
+    mod.make_report(str(d))
+    assert (d / "report.md").exists()
+    assert not (d / "loss_curves.png").exists()
+
+
 def test_report_skips_dir_without_meta(tmp_path, capsys):
     mod = _load_module()
     mod.make_report(str(tmp_path))
