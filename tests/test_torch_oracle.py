@@ -57,12 +57,26 @@ def _activation(name, config=None):
     }[name]()
 
 
-def torch_from_spec(spec, params, batch_stats):
+def _sn_sigma(kernel):
+    """Independent spectral-norm scale: the exact largest singular value of
+    the (fan_in, fan_out)-reshaped kernel via numpy SVD. flax's SpectralNorm
+    approximates this with power iteration; once its stored u has converged
+    the two agree (the reshape grouping matches flax's reshape(-1, C_out);
+    torch's (C_out, -1) of OIHW is a row-permuted transpose, which has the
+    same singular values)."""
+    m = np.asarray(kernel).reshape(-1, kernel.shape[-1])
+    return float(np.linalg.svd(m, compute_uv=False)[0])
+
+
+def torch_from_spec(spec, params, batch_stats, spectral_norm=False):
     """Build the torch twin of SpecSequential(spec) carrying the given flax
     parameters. ``params``/``batch_stats`` are the flax variable dicts for
     the SpecSequential scope; layers are matched by flax's deterministic
-    per-class auto-naming (Conv2d_0, BatchNorm_1, ...)."""
+    per-class auto-naming (Conv2d_0, BatchNorm_1, ...). With
+    ``spectral_norm=True`` every conv kernel is divided by its exact SVD
+    sigma (the converged limit of the power iteration)."""
     counters = {}
+    sigma = _sn_sigma if spectral_norm else (lambda k: 1.0)
 
     def scope(cls):
         i = counters.get(cls, 0)
@@ -87,7 +101,7 @@ def torch_from_spec(spec, params, batch_stats):
                 padding=config.get("padding", 0),
                 bias=config.get("bias", True))
             with torch.no_grad():
-                m.weight.copy_(t(k.transpose(3, 2, 0, 1)))  # -> OIHW
+                m.weight.copy_(t(k.transpose(3, 2, 0, 1) / sigma(k)))
                 if config.get("bias", True):
                     m.bias.copy_(t(p["bias"]))
             layers.append(m)
@@ -104,7 +118,8 @@ def torch_from_spec(spec, params, batch_stats):
                 # torch's transp-conv weight is IOHW and is applied as the
                 # *gradient* of a conv, i.e. spatially flipped relative to
                 # the lhs-dilated correlation our ConvTranspose2d computes
-                m.weight.copy_(t(k[::-1, ::-1].transpose(2, 3, 0, 1)))
+                m.weight.copy_(
+                    t(k[::-1, ::-1].transpose(2, 3, 0, 1) / sigma(k)))
                 if config.get("bias", True):
                     m.bias.copy_(t(p["bias"]))
             layers.append(m)
@@ -132,7 +147,8 @@ def torch_from_spec(spec, params, batch_stats):
             s = scope("ResidualBlock")
             inner = torch_from_spec(
                 inner_spec, params[s]["SpecSequential_0"],
-                batch_stats.get(s, {}).get("SpecSequential_0", {}))
+                batch_stats.get(s, {}).get("SpecSequential_0", {}),
+                spectral_norm=spectral_norm)
             layers.append(_TorchResBlock(inner, _activation(act[0])))
         elif lname == "upsample nearest":
             layers.append(torch.nn.Upsample(scale_factor=config["scale"],
