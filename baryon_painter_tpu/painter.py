@@ -47,16 +47,22 @@ class CVAEPainter(Painter):
                  training_data_set=None, test_data_set=None,
                  architecture: Optional[dict] = None,
                  dtype=None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 fused_inference: bool = False):
         """Construct from a checkpoint (``filename``), from live state
         (``model``/``variables``/``meta``), or — reference parity
         (painter.py:34-47) — from datasets + an architecture dict, in which
         case ``train()`` builds the trainer and ``paint()`` becomes available
-        after training (or after ``load_state_from_file``)."""
+        after training (or after ``load_state_from_file``).
+
+        ``fused_inference=True`` converts canonical residual blocks to the
+        fused Pallas inference layout (models/fuse.py) when the painting
+        function is built — same function, one kernel per block on TPU."""
         self.training_data = training_data_set
         self.test_data = test_data_set
         self.trainer = None
         self._train_dtype = dtype
+        self._fused_inference = fused_inference
         if filename is not None:
             self.load_state_from_file(filename)
         elif model is not None or variables is not None:
@@ -112,6 +118,13 @@ class CVAEPainter(Painter):
     # ------------------------------------------------------------------ #
 
     def _setup(self, model, variables, meta):
+        if (getattr(self, "_fused_inference", False)
+                and not meta["model_architecture"].get("fused_res_blocks")):
+            from baryon_painter_tpu.models.fuse import fuse_cvae_variables
+            variables, arch = fuse_cvae_variables(variables,
+                                                  meta["model_architecture"])
+            meta = {**meta, "model_architecture": arch}
+            model = CVAE(arch, dtype=model.dtype)
         self.model = model
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}

@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--mesh-devices", default=0, type=int,
                         help="shard every shell's tile batch over this many "
                              "local devices (0 = single device)")
+    parser.add_argument("--fused-paint", action="store_true",
+                        help="convert canonical residual blocks to the "
+                             "fused Pallas inference kernel (CVAE only; "
+                             "same function, fewer HBM round trips)")
     parser.add_argument("--bf16-transfer", action="store_true",
                         help="ship SLICS planes to the device as bfloat16 "
                              "(halves H2D bytes; promoted to f32 on device)")
@@ -51,7 +55,8 @@ def main():
     if args.model_type == "CVAE":
         print("Using CVAE.")
         base = args.CVAE_path
-        painter = CVAEPainter(os.path.join(base, "model"))
+        painter = CVAEPainter(os.path.join(base, "model"),
+                              fused_inference=args.fused_paint)
     else:
         print("Using CGAN.")
         painter = CGANPainter(os.path.join(args.CGAN_path, "model"))
