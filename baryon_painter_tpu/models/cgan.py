@@ -106,6 +106,9 @@ class CGANGenerator(nn.Module):
     spectral_norm: bool = True
     upsample: str = "transpose"
     dtype: Optional[Any] = None
+    # fused Pallas residual blocks for the painting path; requires
+    # spectral_norm=False (fold it first: models/fuse.py)
+    fused_res_blocks: bool = False
 
     @nn.compact
     def __call__(self, y, z, train: bool = True):
@@ -116,6 +119,7 @@ class CGANGenerator(nn.Module):
         h = merge_aux_label(y, z_feature(z))
         h = SpecSequential(body_spec, dtype=self.dtype,
                            spectral_norm=self.spectral_norm,
+                           fused_res_blocks=self.fused_res_blocks,
                            kernel_init=kaiming_normal_init)(h, train=train)
         h = SpecSequential(head_spec, dtype=self.dtype,
                            spectral_norm=self.spectral_norm,

@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import copy
 
+import numpy as np
+
 from baryon_painter_tpu.models.layers import _is_canonical_res_block
 
-__all__ = ["fuse_cvae_variables"]
+__all__ = ["fuse_cvae_variables", "fuse_cgan_generator_variables"]
 
 # the CVAE subnets built with the fused_res_blocks flag (models/cvae.py
 # setup's mk()); only these can dispatch to FusedResBlock
@@ -108,3 +110,91 @@ def fuse_cvae_variables(variables: dict, architecture: dict):
             stats[attr] = stats_attr
     arch["fused_res_blocks"] = True
     return {"params": params, "batch_stats": stats}, arch
+
+
+# --------------------------------------------------------------------- #
+# CGAN generator: spectral-norm folding + fused residual blocks         #
+# --------------------------------------------------------------------- #
+
+def _sn_sigma_from_u(kernel, u, eps: float = 1e-12, n_steps: int = 1):
+    """flax.linen.SpectralNorm's eval-time sigma, replicated exactly: the
+    kernel reshaped to (fan_in, C_out), ``n_steps`` power iterations from
+    the stored u vector with flax's epsilon-regularized l2 normalization,
+    then sigma = v W u^T."""
+    w = np.asarray(kernel, np.float32).reshape(-1, kernel.shape[-1])
+    u0 = np.asarray(u, np.float32)
+    for _ in range(n_steps):
+        v0 = u0 @ w.T
+        v0 = v0 / np.sqrt((v0 * v0).sum() + eps)
+        u0 = v0 @ w
+        u0 = u0 / np.sqrt((u0 * u0).sum() + eps)
+    sigma = float((v0 @ w @ u0.T)[0, 0])
+    return sigma if sigma != 0 else 1.0
+
+
+def _fold_spectral_norm(params, stats):
+    """Divide every spectrally-normalized parameter by its sigma, recursing
+    through nested scopes; returns (params', stats') with the SpectralNorm
+    state removed. After folding, a model built with spectral_norm=False
+    computes the identical eval function."""
+    params = dict(params)
+    out_stats = {}
+    for key, sub in (stats or {}).items():
+        if not key.startswith("SpectralNorm_"):
+            # recurse into nested module scopes (e.g. ResidualBlock_k)
+            if key in params and isinstance(params[key], dict):
+                params[key], sub = _fold_spectral_norm(params[key], sub)
+            out_stats[key] = sub
+            continue
+        # SpectralNorm scopes hold flat slash-joined variable names
+        # ("Conv2d_0/kernel/u", ".../sigma") — flax builds them as single
+        # strings, not nested dicts
+        for var_name, u in sub.items():
+            if not var_name.endswith("/u"):
+                continue
+            *path, param_name, _ = var_name.split("/")
+            node = params
+            for part in path[:-1]:
+                node = node[part]
+            layer = dict(node[path[-1]]) if path else node
+            sigma = _sn_sigma_from_u(layer[param_name], u)
+            layer[param_name] = np.asarray(layer[param_name]) / sigma
+            if path:
+                node[path[-1]] = layer
+    return params, out_stats
+
+
+def fuse_cgan_generator_variables(variables: dict, architecture: dict):
+    """Convert CGAN generator variables to the fused-inference layout.
+
+    Folds the spectral normalization into the weights (flax's exact
+    eval-time power-iteration sigma from the stored u vectors) and renames
+    the canonical LeakyReLU residual blocks into FusedResBlock form.
+    Returns ``(variables', generator_kwargs)`` where the generator must be
+    rebuilt with ``CGANGenerator(**generator_kwargs)`` —
+    ``spectral_norm=False, fused_res_blocks=True`` plus the architecture's
+    own fields. Painting-path only (the folded weights carry no SN state to
+    update)."""
+    from baryon_painter_tpu.models.cgan import cgan_generator_spec
+    arch = dict(architecture)
+    body_spec, _head_spec = cgan_generator_spec(
+        arch.get("in_channels", 2), arch.get("n_res_blocks", 9),
+        arch.get("upsample", "transpose"))
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    for seq in ("SpecSequential_0", "SpecSequential_1"):
+        if seq in params:
+            params[seq], stats_seq = _fold_spectral_norm(
+                params[seq], stats.get(seq))
+            if stats_seq or seq in stats:
+                stats[seq] = stats_seq
+    params["SpecSequential_0"], stats_body = _fuse_subnet(
+        body_spec, params["SpecSequential_0"],
+        stats.get("SpecSequential_0"))
+    if stats_body:
+        stats["SpecSequential_0"] = stats_body
+    kwargs = {"in_channels": arch.get("in_channels", 2),
+              "n_res_blocks": arch.get("n_res_blocks", 9),
+              "upsample": arch.get("upsample", "transpose"),
+              "spectral_norm": False, "fused_res_blocks": True}
+    return {"params": params, "batch_stats": stats}, kwargs

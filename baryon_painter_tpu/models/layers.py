@@ -309,21 +309,47 @@ class ResidualBlock(nn.Module):
         return _activation_from_spec(tuple(self.activation))(h)
 
 
-def _is_canonical_res_block(config):
-    """True when a residual-block spec is the canonical
-    conv3x3/bn/relu/conv3x3/bn with relu outer activation (dsl.res_block)."""
+def _act_slope(layer):
+    """(leaky-)ReLU slope of an activation spec entry, or None if it is
+    neither: ('ReLU',) -> 0.0, ('Leaky ReLU', s) -> s (default 0.2)."""
+    name = str(layer[0]).lower()
+    if name == "relu":
+        return 0.0
+    if name == "leaky relu":
+        return float(layer[1]) if len(layer) > 1 and layer[1] is not None \
+            else 0.2
+    return None
+
+
+def _canonical_res_block_slopes(config):
+    """``(inner_slope, outer_slope)`` when a residual-block spec is the
+    canonical conv3x3/bn/act/conv3x3/bn shape with (leaky-)ReLU activations
+    (dsl.res_block: ReLU; the CGAN generator's blocks: LeakyReLU(0.2)),
+    else ``None``."""
     inner, act = config
-    if tuple(a.lower() for a in (act[0],)) != ("relu",):
-        return False
+    outer_slope = _act_slope(act)
+    if outer_slope is None:
+        return None
     names = [str(l[0]).lower() for l in inner]
-    if names != ["conv", "batchnorm", "relu", "conv", "batchnorm"]:
-        return False
+    if (len(names) != 5
+            or names != ["conv", "batchnorm", names[2], "conv", "batchnorm"]):
+        return None
+    inner_slope = _act_slope(inner[2])
+    if inner_slope is None:
+        return None
     c1, c2 = inner[0][1], inner[3][1]
     for c in (c1, c2):
         if (c["kernel_size"], c.get("stride", 1), c.get("padding", 0),
                 c.get("bias", True)) != (3, 1, 1, False):
-            return False
-    return c1["in_channels"] == c1["out_channels"] == c2["out_channels"]
+            return None
+    if not (c1["in_channels"] == c1["out_channels"] == c2["out_channels"]):
+        return None
+    return inner_slope, outer_slope
+
+
+def _is_canonical_res_block(config):
+    """True when the spec can dispatch to FusedResBlock."""
+    return _canonical_res_block_slopes(config) is not None
 
 
 class FusedResBlock(nn.Module):
@@ -338,6 +364,8 @@ class FusedResBlock(nn.Module):
 
     features: int
     dtype: Optional[Dtype] = None
+    inner_slope: float = 0.0   # (leaky-)ReLU slopes; 0.0 = plain ReLU
+    outer_slope: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -364,6 +392,9 @@ class FusedResBlock(nn.Module):
                 v.astype(dtype), w.astype(dtype), (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        from baryon_painter_tpu.ops.pallas_conv import (_leaky, fold_bn,
+                                                        res_block_infer,
+                                                        res_block_infer_xla)
         if train:
             h = conv(x, w1).astype(jnp.float32)
             m1 = h.mean(axis=(0, 1, 2))
@@ -372,7 +403,7 @@ class FusedResBlock(nn.Module):
                 mean1.value = momentum * mean1.value + (1 - momentum) * m1
                 var1.value = momentum * var1.value + (1 - momentum) * v1
             h = (h - m1) * jax.lax.rsqrt(v1 + eps) * scale1 + bias1
-            h = jnp.maximum(h, 0.0)
+            h = _leaky(h, self.inner_slope)
             h = conv(h, w2).astype(jnp.float32)
             m2 = h.mean(axis=(0, 1, 2))
             v2 = h.var(axis=(0, 1, 2))
@@ -380,16 +411,16 @@ class FusedResBlock(nn.Module):
                 mean2.value = momentum * mean2.value + (1 - momentum) * m2
                 var2.value = momentum * var2.value + (1 - momentum) * v2
             h = (h - m2) * jax.lax.rsqrt(v2 + eps) * scale2 + bias2
-            return jnp.maximum(h + x.astype(jnp.float32), 0.0).astype(x.dtype)
+            return _leaky(h + x.astype(jnp.float32),
+                          self.outer_slope).astype(x.dtype)
 
-        from baryon_painter_tpu.ops.pallas_conv import (fold_bn,
-                                                        res_block_infer,
-                                                        res_block_infer_xla)
         s1, b1 = fold_bn(scale1, bias1, mean1.value, var1.value, eps)
         s2, b2 = fold_bn(scale2, bias2, mean2.value, var2.value, eps)
-        if jax.default_backend() == "tpu":
-            return res_block_infer(x.astype(dtype), w1, s1, b1, w2, s2, b2)
-        return res_block_infer_xla(x.astype(dtype), w1, s1, b1, w2, s2, b2)
+        fn = (res_block_infer if jax.default_backend() == "tpu"
+              else res_block_infer_xla)
+        return fn(x.astype(dtype), w1, s1, b1, w2, s2, b2,
+                  inner_slope=self.inner_slope,
+                  outer_slope=self.outer_slope)
 
 
 def _activation_from_spec(layer):
@@ -488,10 +519,14 @@ class SpecSequential(nn.Module):
                 x = nn.softplus(x)
             elif lname == "residual block":
                 inner, act = config
-                if (self.fused_res_blocks and not self.spectral_norm
-                        and _is_canonical_res_block(config)):
+                slopes = (_canonical_res_block_slopes(config)
+                          if self.fused_res_blocks and not self.spectral_norm
+                          else None)
+                if slopes is not None:
                     x = FusedResBlock(inner[0][1]["out_channels"],
-                                      dtype=self.dtype)(x, train=train)
+                                      dtype=self.dtype,
+                                      inner_slope=slopes[0],
+                                      outer_slope=slopes[1])(x, train=train)
                 else:
                     x = ResidualBlock(tuple(map(tuple, inner)), tuple(act),
                                       dtype=self.dtype,

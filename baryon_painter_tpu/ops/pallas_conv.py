@@ -47,23 +47,37 @@ def _conv3x3_mxu(x, w):
     return acc.reshape(h, wdt, w.shape[-1])
 
 
+def _leaky(h, slope: float):
+    """(Leaky) ReLU with a compile-time slope; 0.0 is plain ReLU. For
+    0 <= slope < 1, max(h, slope*h) selects slope*h exactly when h < 0."""
+    if slope == 0.0:
+        return jnp.maximum(h, 0.0)
+    return jnp.maximum(h, slope * h)
+
+
 def _res_block_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                      out_ref):
+                      out_ref, *, inner_slope: float, outer_slope: float):
     x = x_ref[0]
     h = _conv3x3_mxu(x, w1_ref[:])
-    h = jnp.maximum(h * s1_ref[:] + b1_ref[:], 0.0)
+    h = _leaky(h * s1_ref[:] + b1_ref[:], inner_slope)
     h = _conv3x3_mxu(h.astype(x.dtype), w2_ref[:])
     h = h * s2_ref[:] + b2_ref[:]
-    out_ref[0] = jnp.maximum(h + x.astype(jnp.float32), 0.0).astype(x.dtype)
+    out_ref[0] = _leaky(h + x.astype(jnp.float32),
+                        outer_slope).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "inner_slope",
+                                             "outer_slope"))
 def res_block_infer(x, w1, scale1, bias1, w2, scale2, bias2,
-                    interpret: bool = False):
+                    interpret: bool = False, inner_slope: float = 0.0,
+                    outer_slope: float = 0.0):
     """Fused inference residual block.
 
     x: (N, H, W, C) NHWC; w1/w2: (3, 3, C, C); scale/bias: (C,) folded BN
-    (see fold_bn). Returns relu(x + bn2(conv2(relu(bn1(conv1(x)))))).
+    (see fold_bn). Returns act(x + bn2(conv2(act(bn1(conv1(x)))))) where act
+    is (leaky) ReLU with the given compile-time slopes — 0.0 (default) is
+    the CVAE's plain-ReLU block, 0.2 the CGAN generator's LeakyReLU block
+    (trained_models/README.md:97).
     """
     n, h, wdt, c = x.shape
     f32 = jnp.float32
@@ -85,7 +99,8 @@ def res_block_infer(x, w1, scale1, bias1, w2, scale2, bias2,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _res_block_kernel,
+        functools.partial(_res_block_kernel, inner_slope=inner_slope,
+                          outer_slope=outer_slope),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -94,7 +109,8 @@ def res_block_infer(x, w1, scale1, bias1, w2, scale2, bias2,
     )(*args)
 
 
-def res_block_infer_xla(x, w1, scale1, bias1, w2, scale2, bias2):
+def res_block_infer_xla(x, w1, scale1, bias1, w2, scale2, bias2,
+                        inner_slope: float = 0.0, outer_slope: float = 0.0):
     """XLA reference implementation (used as fallback and in tests)."""
     def conv(v, w):
         return jax.lax.conv_general_dilated(
@@ -102,6 +118,6 @@ def res_block_infer_xla(x, w1, scale1, bias1, w2, scale2, bias2):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
 
-    h = jnp.maximum(conv(x, w1) * scale1 + bias1, 0.0)
+    h = _leaky(conv(x, w1) * scale1 + bias1, inner_slope)
     h = conv(h.astype(x.dtype), w2) * scale2 + bias2
-    return jnp.maximum(h + x.astype(jnp.float32), 0.0).astype(x.dtype)
+    return _leaky(h + x.astype(jnp.float32), outer_slope).astype(x.dtype)

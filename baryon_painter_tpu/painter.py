@@ -250,7 +250,13 @@ class CGANPainter(Painter):
 
     def __init__(self, filename: Optional[str] = None,
                  generator=None, variables: Optional[dict] = None,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None,
+                 fused_inference: bool = False):
+        """``fused_inference=True`` folds the spectral normalization into
+        the weights (flax's exact eval-time sigma) and converts the
+        generator's LeakyReLU residual blocks to the fused Pallas layout
+        (models/fuse.py) — same painted tiles, one kernel per block."""
+        self._fused_inference = fused_inference
         if filename is not None:
             self.load_state_from_file(filename)
         else:
@@ -260,7 +266,14 @@ class CGANPainter(Painter):
             self._setup(generator, variables, meta)
 
     def _setup(self, generator, variables, meta):
-        from baryon_painter_tpu.models.cgan import CGANGenerator  # noqa
+        from baryon_painter_tpu.models.cgan import CGANGenerator
+        if (getattr(self, "_fused_inference", False)
+                and generator.spectral_norm):
+            from baryon_painter_tpu.models.fuse import \
+                fuse_cgan_generator_variables
+            variables, gen_kwargs = fuse_cgan_generator_variables(
+                variables, meta["model_architecture"])
+            generator = CGANGenerator(dtype=generator.dtype, **gen_kwargs)
         self.generator = generator
         self.variables = variables
         self.meta = meta

@@ -41,8 +41,9 @@ def main():
                              "local devices (0 = single device)")
     parser.add_argument("--fused-paint", action="store_true",
                         help="convert canonical residual blocks to the "
-                             "fused Pallas inference kernel (CVAE only; "
-                             "same function, fewer HBM round trips)")
+                             "fused Pallas inference kernel (CGAN: also "
+                             "folds spectral norm into the weights; same "
+                             "function, fewer HBM round trips)")
     parser.add_argument("--bf16-transfer", action="store_true",
                         help="ship SLICS planes to the device as bfloat16 "
                              "(halves H2D bytes; promoted to f32 on device)")
@@ -59,7 +60,8 @@ def main():
                               fused_inference=args.fused_paint)
     else:
         print("Using CGAN.")
-        painter = CGANPainter(os.path.join(args.CGAN_path, "model"))
+        painter = CGANPainter(os.path.join(args.CGAN_path, "model"),
+                              fused_inference=args.fused_paint)
 
     LOS = int(args.SLICS_LOS)
     delta_path = os.path.join(args.SLICS_base_path, "delta")

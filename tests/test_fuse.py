@@ -82,6 +82,55 @@ def test_fused_param_structure():
                                          "bn2_mean", "bn2_var"}
 
 
+def test_fused_cgan_generator_preserves_output():
+    """SN folding (flax's exact eval sigma) + fused leaky res blocks must
+    reproduce the spectral-norm generator's eval output."""
+    from baryon_painter_tpu.models.cgan import CGANGenerator
+    from baryon_painter_tpu.models.fuse import fuse_cgan_generator_variables
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 1)), jnp.float32)
+    z = jnp.asarray([0.0, 1.5])
+    arch = {"in_channels": 2, "n_res_blocks": 2, "upsample": "transpose"}
+    gen = CGANGenerator(**arch)
+    variables = gen.init(jax.random.PRNGKey(0), y, z, train=True)
+    # a couple of update steps so u vectors and BN stats are nontrivial
+    for _ in range(3):
+        _, upd = gen.apply(variables, y, z, train=True,
+                           mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+    ref = gen.apply(variables, y, z, train=False)
+
+    fused_vars, kwargs = fuse_cgan_generator_variables(variables, arch)
+    assert kwargs["spectral_norm"] is False
+    assert kwargs["fused_res_blocks"] is True
+    fused = CGANGenerator(**kwargs)
+    out = fused.apply(fused_vars, y, z, train=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-5, atol=2e-5)
+    # converted blocks actually use the fused layout
+    assert "FusedResBlock_0" in fused_vars["params"]["SpecSequential_0"]
+
+
+@pytest.mark.slow
+def test_fused_cgan_painter_matches_on_committed_checkpoint():
+    from baryon_painter_tpu.painter import CGANPainter
+    base = os.path.join(REPO, "trained_models", "CGAN", "fiducial", "model")
+    if not os.path.exists(base + "_state.msgpack"):
+        pytest.skip("no committed CGAN checkpoint")
+    plain = CGANPainter(base)
+    fused = CGANPainter(base, fused_inference=True)
+    assert fused.generator.fused_res_blocks
+
+    tile = np.abs(np.random.default_rng(0).standard_normal(
+        (plain.tile_size, plain.tile_size))).astype(np.float32)
+    a = plain.paint_batch(tile[None], np.zeros(1, np.float32))
+    b = fused.paint_batch(tile[None], np.zeros(1, np.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_fused_painter_matches_on_committed_flagship():
     """End-to-end: the committed fiducial checkpoint painted fused vs

@@ -81,6 +81,16 @@ def test_res_block_pallas_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert np.all(got >= 0)  # final relu
 
+    # LeakyReLU slopes (the CGAN generator's blocks): kernel == fallback,
+    # and negative outputs exist (the leaky path is exercised)
+    got = np.asarray(res_block_infer(x, w1, s1, b1, w2, s2, b2,
+                                     interpret=True, inner_slope=0.2,
+                                     outer_slope=0.2))
+    want = np.asarray(res_block_infer_xla(x, w1, s1, b1, w2, s2, b2,
+                                          inner_slope=0.2, outer_slope=0.2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert np.any(got < 0)
+
 
 def test_fold_bn_identity():
     from baryon_painter_tpu.ops.pallas_conv import fold_bn
