@@ -178,13 +178,14 @@ class CVAEPainter(Painter):
         self._paint_fn = _paint
 
     @classmethod
-    def from_trainer(cls, trainer, seed: int = 0):
+    def from_trainer(cls, trainer, seed: int = 0,
+                     fused_inference: bool = False):
         meta = ckpt.meta_from_dataset(trainer.training_data,
                                       trainer.model.architecture)
         variables = {"params": trainer.state.params,
                      "batch_stats": trainer.state.batch_stats}
         return cls(model=trainer.model, variables=variables, meta=meta,
-                   seed=seed)
+                   seed=seed, fused_inference=fused_inference)
 
     def load_state_from_file(self, filename: str):
         """Load a (state.msgpack, meta.json) checkpoint pair by base path."""

@@ -83,7 +83,10 @@ def main():
     trainer = CVAETrainer(CVAE(fiducial_cvae_architecture(512),
                                dtype=jax.numpy.bfloat16), ds,
                           config=TrainConfig(seed=0))
-    painter = CVAEPainter.from_trainer(trainer)
+    # BPT_LC_FUSED=1: paint through the fused Pallas residual blocks
+    # (models/fuse.py conversion; same painted tiles)
+    painter = CVAEPainter.from_trainer(
+        trainer, fused_inference=os.environ.get("BPT_LC_FUSED") == "1")
 
     cosmo = SLICS_COSMOLOGY()
     z_arr = np.asarray(Z_SLICS)
@@ -203,6 +206,7 @@ def main():
             "tile_overlap": 0.2,
             "output_resolution": 1549,
             "transfer_dtype": "bfloat16" if transfer_dtype else "float32",
+            "fused_paint": os.environ.get("BPT_LC_FUSED") == "1",
             "first_los_s": round(t_first, 1),
             "steady_los_s": round(t_steady, 1),
             "per_shell": per_shell,
