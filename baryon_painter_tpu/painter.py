@@ -57,7 +57,14 @@ class CVAEPainter(Painter):
 
         ``fused_inference=True`` converts canonical residual blocks to the
         fused Pallas inference layout (models/fuse.py) when the painting
-        function is built — same function, one kernel per block on TPU."""
+        function is built — same function, one kernel per block on TPU.
+
+        ``dtype`` is the conv compute dtype for the model this painter
+        builds — both the training model (architecture branch) and a
+        checkpoint-loaded paint model. The committed fidelity gates are
+        evaluated with bfloat16 compute (scripts/fidelity_check.py), so
+        ``jnp.bfloat16`` reproduces their provenance; ``None`` computes in
+        the input dtype (float32)."""
         self.training_data = training_data_set
         self.test_data = test_data_set
         self.trainer = None
@@ -190,7 +197,8 @@ class CVAEPainter(Painter):
     def load_state_from_file(self, filename: str):
         """Load a (state.msgpack, meta.json) checkpoint pair by base path."""
         state, meta = ckpt.load_checkpoint(filename)
-        model = CVAE(meta["model_architecture"])
+        model = CVAE(meta["model_architecture"],
+                     dtype=getattr(self, "_train_dtype", None))
         self._setup(model, state, meta)
 
     def save_state_to_file(self, filename: str):
@@ -252,12 +260,16 @@ class CGANPainter(Painter):
     def __init__(self, filename: Optional[str] = None,
                  generator=None, variables: Optional[dict] = None,
                  meta: Optional[dict] = None,
-                 fused_inference: bool = False):
+                 fused_inference: bool = False,
+                 dtype=None):
         """``fused_inference=True`` folds the spectral normalization into
         the weights (flax's exact eval-time sigma) and converts the
         generator's LeakyReLU residual blocks to the fused Pallas layout
-        (models/fuse.py) — same painted tiles, one kernel per block."""
+        (models/fuse.py) — same painted tiles, one kernel per block.
+        ``dtype``: conv compute dtype for a checkpoint-loaded generator
+        (None computes in the input dtype, float32)."""
         self._fused_inference = fused_inference
+        self._dtype = dtype
         if filename is not None:
             self.load_state_from_file(filename)
         else:
@@ -323,7 +335,8 @@ class CGANPainter(Painter):
         arch = meta["model_architecture"]
         generator = CGANGenerator(in_channels=arch.get("in_channels", 2),
                                   n_res_blocks=arch.get("n_res_blocks", 9),
-                                  upsample=arch.get("upsample", "transpose"))
+                                  upsample=arch.get("upsample", "transpose"),
+                                  dtype=getattr(self, "_dtype", None))
         variables = {"params": state["g_params"],
                      "batch_stats": state.get("g_stats", {})}
         self._setup(generator, variables, meta)
