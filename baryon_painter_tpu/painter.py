@@ -366,11 +366,14 @@ class CGANPainter(Painter):
                               inverse_transform=inverse_transform)
 
 
-def load_painter(filename: str) -> Painter:
-    """Open a checkpoint pair and dispatch on its model_kind."""
+def load_painter(filename: str, **kwargs) -> Painter:
+    """Open a checkpoint pair and dispatch on its model_kind.
+
+    ``kwargs`` (e.g. ``fused_inference=True``, ``dtype=jnp.bfloat16``) are
+    forwarded to the dispatched painter class."""
     import json
     with open(filename + "_meta.json") as f:
         kind = json.load(f).get("model_kind", "cvae")
     if kind == "cgan":
-        return CGANPainter(filename)
-    return CVAEPainter(filename)
+        return CGANPainter(filename, **kwargs)
+    return CVAEPainter(filename, **kwargs)
