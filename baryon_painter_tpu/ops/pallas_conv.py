@@ -48,11 +48,12 @@ def _conv3x3_mxu(x, w):
 
 
 def _leaky(h, slope: float):
-    """(Leaky) ReLU with a compile-time slope; 0.0 is plain ReLU. For
-    0 <= slope < 1, max(h, slope*h) selects slope*h exactly when h < 0."""
+    """(Leaky) ReLU with a compile-time slope; 0.0 is plain ReLU. Uses a
+    select (not max(h, slope*h), which is wrong for slope >= 1) so any
+    slope matches nn.leaky_relu exactly."""
     if slope == 0.0:
         return jnp.maximum(h, 0.0)
-    return jnp.maximum(h, slope * h)
+    return jnp.where(h >= 0, h, slope * h)
 
 
 def _res_block_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,

@@ -281,12 +281,19 @@ class CGANPainter(Painter):
     def _setup(self, generator, variables, meta):
         from baryon_painter_tpu.models.cgan import CGANGenerator
         if (getattr(self, "_fused_inference", False)
-                and generator.spectral_norm):
+                and not generator.fused_res_blocks):
+            # folds SN (a no-op when the generator has none) and renames
+            # the residual blocks into the fused layout
             from baryon_painter_tpu.models.fuse import \
                 fuse_cgan_generator_variables
             variables, gen_kwargs = fuse_cgan_generator_variables(
                 variables, meta["model_architecture"])
             generator = CGANGenerator(dtype=generator.dtype, **gen_kwargs)
+            # record the converted layout so save_state_to_file round-trips
+            meta = {**meta,
+                    "model_architecture": {**meta["model_architecture"],
+                                           "spectral_norm": False,
+                                           "fused_res_blocks": True}}
         self.generator = generator
         self.variables = variables
         self.meta = meta
@@ -333,10 +340,13 @@ class CGANPainter(Painter):
         from baryon_painter_tpu.models.cgan import CGANGenerator
         state, meta = ckpt.load_checkpoint(filename)
         arch = meta["model_architecture"]
-        generator = CGANGenerator(in_channels=arch.get("in_channels", 2),
-                                  n_res_blocks=arch.get("n_res_blocks", 9),
-                                  upsample=arch.get("upsample", "transpose"),
-                                  dtype=getattr(self, "_dtype", None))
+        generator = CGANGenerator(
+            in_channels=arch.get("in_channels", 2),
+            n_res_blocks=arch.get("n_res_blocks", 9),
+            upsample=arch.get("upsample", "transpose"),
+            spectral_norm=arch.get("spectral_norm", True),
+            fused_res_blocks=arch.get("fused_res_blocks", False),
+            dtype=getattr(self, "_dtype", None))
         variables = {"params": state["g_params"],
                      "batch_stats": state.get("g_stats", {})}
         self._setup(generator, variables, meta)

@@ -39,12 +39,13 @@ def main():
     parser.add_argument("--mesh-devices", default=0, type=int,
                         help="shard every shell's tile batch over this many "
                              "local devices (0 = single device)")
-    parser.add_argument("--paint-dtype", default="bf16",
+    parser.add_argument("--paint-dtype", default=None,
                         choices=["bf16", "f32"],
-                        help="conv compute dtype for painting. bf16 (the "
-                             "default) matches the committed fidelity-gate "
-                             "provenance and is ~2x faster on TPU; f32 for "
-                             "exact-arithmetic painting")
+                        help="conv compute dtype for painting. Default "
+                             "matches each model's committed fidelity-gate "
+                             "provenance: bf16 for the CVAE (~2x faster on "
+                             "TPU), f32 for the CGAN (its gate is computed "
+                             "in f32, scripts/fidelity_check.py)")
     parser.add_argument("--fused-paint", action="store_true",
                         help="convert canonical residual blocks to the "
                              "fused Pallas inference kernel (CGAN: also "
@@ -60,6 +61,8 @@ def main():
     from baryon_painter_tpu.painter import CGANPainter, CVAEPainter
 
     import jax.numpy as jnp
+    if args.paint_dtype is None:
+        args.paint_dtype = "bf16" if args.model_type == "CVAE" else "f32"
     paint_dtype = jnp.bfloat16 if args.paint_dtype == "bf16" else None
     if args.model_type == "CVAE":
         print("Using CVAE.")

@@ -113,6 +113,64 @@ def test_fused_cgan_generator_preserves_output():
     assert "FusedResBlock_0" in fused_vars["params"]["SpecSequential_0"]
 
 
+def test_fused_cgan_painter_save_reload_roundtrip(tmp_path):
+    """A fused-converted CGANPainter's checkpoint must reload and paint:
+    the converted layout (no SN state, FusedResBlock params) has to be
+    recorded in the saved architecture."""
+    from baryon_painter_tpu.data.dataset import (BahamasTileDataset,
+                                                 load_file_info)
+    from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+    from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
+                                                CGANGenerator)
+    from baryon_painter_tpu.painter import CGANPainter
+    from baryon_painter_tpu.train.cgan import CGANTrainConfig, CGANTrainer
+    from baryon_painter_tpu.transforms import RangeCompress
+
+    root = str(tmp_path / "stacks")
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 1.0))
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    trainer = CGANTrainer(ds, generator=CGANGenerator(n_res_blocks=1),
+                          discriminator=CGANDiscriminator(),
+                          config=CGANTrainConfig(seed=0, batch_size=2))
+    plain = CGANPainter.from_trainer(trainer)
+    fused = CGANPainter(generator=trainer.generator,
+                        variables=plain.variables, meta=plain.meta,
+                        fused_inference=True)
+    assert fused.meta["model_architecture"]["fused_res_blocks"] is True
+    base = str(tmp_path / "fused_ckpt")
+    fused.save_state_to_file(base)
+
+    reloaded = CGANPainter(base)
+    assert reloaded.generator.fused_res_blocks
+    assert not reloaded.generator.spectral_norm
+    tile = np.abs(np.random.default_rng(0).standard_normal(
+        (32, 32))).astype(np.float32)
+    a = np.asarray(fused.paint(tile, z=0.5))
+    b = np.asarray(reloaded.paint(tile, z=0.5))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    # fused_inference also applies to an SN-free generator (rename only,
+    # no SN state to fold) instead of being silently ignored
+    gen_nosn = CGANGenerator(n_res_blocks=1, spectral_norm=False)
+    import jax
+    import jax.numpy as jnp
+    v = gen_nosn.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 1)), jnp.zeros((1,)),
+                      train=False)
+    v = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+    p_plain = CGANPainter(generator=gen_nosn, variables=v, meta=plain.meta)
+    p_fused = CGANPainter(generator=gen_nosn, variables=v, meta=plain.meta,
+                          fused_inference=True)
+    assert p_fused.generator.fused_res_blocks
+    a = np.asarray(p_plain.paint(tile, z=0.5))
+    b = np.asarray(p_fused.paint(tile, z=0.5))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_fused_cgan_painter_matches_on_committed_checkpoint():
     from baryon_painter_tpu.painter import CGANPainter

@@ -14,8 +14,13 @@ pytestmark = pytest.mark.slow
 
 
 def test_canonical_detection():
+    from baryon_painter_tpu.models.layers import _canonical_res_block_slopes
     assert _is_canonical_res_block(dsl.res_block(128))
-    assert not _is_canonical_res_block(dsl.res_block(64, activation="Leaky ReLU"))
+    assert _canonical_res_block_slopes(dsl.res_block(128)) == (0.0, 0.0)
+    # leaky outer activations are canonical too (CGAN generator blocks)
+    leaky = dsl.res_block(64, activation="Leaky ReLU")
+    assert _canonical_res_block_slopes(leaky) == (0.0, 0.2)
+    assert not _is_canonical_res_block(dsl.res_block(64, activation="tanh"))
     inner, act = dsl.res_block(32)
     inner[0][1]["kernel_size"] = 5
     assert not _is_canonical_res_block((inner, act))

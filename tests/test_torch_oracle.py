@@ -149,7 +149,9 @@ def torch_from_spec(spec, params, batch_stats, spectral_norm=False):
                 inner_spec, params[s]["SpecSequential_0"],
                 batch_stats.get(s, {}).get("SpecSequential_0", {}),
                 spectral_norm=spectral_norm)
-            layers.append(_TorchResBlock(inner, _activation(act[0])))
+            layers.append(_TorchResBlock(
+                inner,
+                _activation(act[0], act[1] if len(act) > 1 else None)))
         elif lname == "upsample nearest":
             layers.append(torch.nn.Upsample(scale_factor=config["scale"],
                                             mode="nearest"))
