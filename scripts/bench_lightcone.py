@@ -50,6 +50,15 @@ def generate_los(base, los=74, seed=0):
 
 
 def main():
+    import argparse
+    p = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        epilog="Configured via environment flags (see docs/flags.md): "
+               "BPT_LC_DIR (workdir), BPT_LC_SHELLS (shell count), "
+               "BPT_LC_BF16=1 (bf16 plane transfer), BPT_LC_FUSED=1 "
+               "(fused Pallas painting), BPT_LC_OUT (JSON artifact path).")
+    p.parse_args()
+
     import jax
     from baryon_painter_tpu.utils.platform import (
         enable_compilation_cache, respect_env_platform)
