@@ -13,7 +13,25 @@ from typing import Dict, List, Optional
 import numpy as np
 
 __all__ = ["StepTimer", "device_trace", "device_peak_flops",
-           "device_peak_bandwidth"]
+           "device_peak_bandwidth", "xla_cost"]
+
+
+def xla_cost(compiled) -> tuple:
+    """(flops, bytes_accessed) from a compiled executable's cost_analysis.
+
+    The single parser for XLA's backend-dependent return shape (a dict, or
+    a 1-list of dicts on some backends; keys may be absent) — bench.py and
+    scripts/roofline.py both use this so the two reports cannot drift.
+    Returns NaNs when the analysis is unavailable.
+    """
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return (float(c.get("flops", float("nan"))),
+                float(c.get("bytes accessed", float("nan"))))
+    except Exception:
+        return float("nan"), float("nan")
 
 # Per-jax.Device bf16 peak FLOP/s and HBM bandwidth (B/s), keyed by
 # jax.Device.device_kind. Public spec-sheet numbers; extend as the fleet
@@ -84,6 +102,9 @@ class StepTimer:
 
     def summary(self) -> Dict[str, float]:
         t = np.asarray(self.times[self.skip_first:] or self.times)
+        if len(t) == 0:
+            return {"n": 0, "mean_ms": 0.0, "p50_ms": 0.0, "p95_ms": 0.0,
+                    "max_ms": 0.0}
         return {"n": len(t),
                 "mean_ms": float(t.mean() * 1e3),
                 "p50_ms": float(np.percentile(t, 50) * 1e3),

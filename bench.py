@@ -88,14 +88,16 @@ def main():
     from baryon_painter_tpu.utils.profiling import StepTimer, device_trace
 
     timer = StepTimer(skip_first=0)
-    t0 = time.time()
     n_scans = max(1, n_steps // scan_k)
     with device_trace(os.environ.get("BPT_BENCH_PROFILE")):
+        # t0/dt live INSIDE the trace region: start_trace and the blocking
+        # trace dump at stop_trace must not be charged to the timed window
+        t0 = time.time()
         for _ in range(n_scans):
             with timer:
                 m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
         elbo = float(m["elbo"][-1])  # blocks on the whole chain
-    dt = time.time() - t0
+        dt = time.time() - t0
     n_steps = n_scans * scan_k
     log(f"per-dispatch ({scan_k} steps each): {timer.summary()}")
 
@@ -108,6 +110,7 @@ def main():
     # XLA cost_analysis counts a scan/while BODY once regardless of trip
     # count (measured r3: a 25-step scan reports the same flops as one
     # fwd+bwd), so lower a K=1 scan and take its flops as per-step flops.
+    from baryon_painter_tpu.utils.profiling import xla_cost
     try:
         lowered = trainer._train_scan.lower(
             trainer.state, trainer.device_cache.stacks,
@@ -115,12 +118,8 @@ def main():
              jax.numpy.arange(1)),
             jax.random.PRNGKey(0), jax.numpy.ones((1,)),
             jax.numpy.ones((1,)), jax.numpy.ones((1,)))
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost["flops"])
-        bytes_per_step = float(cost.get("bytes accessed", float("nan")))
-    except Exception as e:  # cost_analysis is backend-dependent
+        flops_per_step, bytes_per_step = xla_cost(lowered.compile())
+    except Exception as e:  # lowering is backend-dependent
         log(f"cost_analysis unavailable: {e}")
         flops_per_step = float("nan")
         bytes_per_step = float("nan")

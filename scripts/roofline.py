@@ -2,10 +2,14 @@
 """Per-segment roofline breakdown of the fused CVAE train step.
 
 jax.profiler traces hang over the network-attached chip (ROUNDLOG), so this
-measures the step the way that does work here: each segment is jitted and
-timed standalone (steady-state median over repeats), and every compiled
-segment reports XLA cost_analysis flops + bytes accessed so achieved
-bandwidth / MFU can be read off directly.
+measures the step the way that does work here: each segment is compiled and
+timed standalone as an amortized mean — n dependent calls enqueued, one
+value fetch, the separately-measured fetch floor subtracted — and every
+compiled segment reports XLA cost_analysis flops + bytes accessed so
+achieved bandwidth / MFU can be read off directly. Segments whose total
+device time is not well above the fetch floor are flagged
+``floor_dominated`` and their MFU/BW are withheld (the subtraction would
+amplify floor noise).
 
 Segments:
   gather      device-cache digit gather (raw tiles from HBM stacks)
@@ -47,15 +51,11 @@ def log(*a):
 
 
 def cost_of(compiled):
-    try:
-        c = compiled.cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("flops", float("nan"))), \
-            float(c.get("bytes accessed", float("nan")))
-    except Exception as e:
-        log(f"  cost_analysis failed: {e}")
-        return float("nan"), float("nan")
+    from baryon_painter_tpu.utils.profiling import xla_cost
+    fl, by = xla_cost(compiled)
+    if np.isnan(fl) and np.isnan(by):
+        log("  cost_analysis unavailable")
+    return fl, by
 
 
 _FETCH_FLOOR = [0.0]
@@ -79,29 +79,34 @@ def bench(fn, args, n=20, warmup=3):
     """Amortized wall time of fn(*args): enqueue n calls, one value fetch.
 
     Device execution is serial in dispatch order, so
-    t_op ~= (t_total - fetch_floor) / n. Returns (t_op, flops, bytes)."""
+    t_op ~= (t_total - fetch_floor) / n. Returns
+    (t_op, flops, bytes, floor_dominated): when t_total is not well above
+    the fetch floor the subtraction amplifies floor noise, so the result is
+    flagged and callers must not derive MFU/BW from it."""
     import jax
-    jfn = jax.jit(fn)
-    lowered = jfn.lower(*args)
-    compiled = lowered.compile()
+    compiled = jax.jit(fn).lower(*args).compile()
     flops, bytes_acc = cost_of(compiled)
+    # run through the compiled executable everywhere: calling the jitted
+    # wrapper would re-trace/re-compile the same program a second time
     for _ in range(warmup):
-        _fetch(jfn(*args))
+        _fetch(compiled(*args))
     t0 = time.perf_counter()
     out = None
     for _ in range(n):
-        out = jfn(*args)
+        out = compiled(*args)
     _fetch(out)
     t_total = time.perf_counter() - t0
+    floor_dominated = t_total < 2.0 * _FETCH_FLOOR[0]
     t = max(t_total - _FETCH_FLOOR[0], 1e-9) / n
-    return float(t), flops, bytes_acc
+    return float(t), flops, bytes_acc, floor_dominated
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cvae", choices=["cvae", "cgan"],
                    help="cvae: full segment suite; cgan: the fused G/D "
-                        "adversarial step (gather/prepare/step/scan only)")
+                        "adversarial step (gather/prepare/step/scan only; "
+                        "other segment names are CVAE-internal)")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--out", default="docs/roofline_r03.json")
@@ -111,8 +116,15 @@ def main():
                         "forward,subnets,fwdbwd,update,step,paint,scan "
                         "(default: all; prerequisites compile as needed)")
     args = p.parse_args()
+    _KNOWN = {"gather", "prepare", "forward", "subnets", "fwdbwd", "update",
+              "step", "paint", "scan"}
+    _ALIASES = {"fwd+bwd": "fwdbwd", "scan25": "scan"}  # displayed names
     want = (None if args.segments is None
-            else {s.strip() for s in args.segments.split(",") if s.strip()})
+            else {_ALIASES.get(s.strip(), s.strip())
+                  for s in args.segments.split(",") if s.strip()})
+    if want is not None and not want <= _KNOWN:
+        p.error(f"unknown segment(s) {sorted(want - _KNOWN)}; "
+                f"choose from {sorted(_KNOWN)}")
 
     def sel(*names):
         return want is None or bool(want.intersection(names))
@@ -157,7 +169,11 @@ def main():
                                                      batch_size=args.batch),
                               device_data=True)
         # CVAE-internal segments don't exist on the adversarial trainer
-        cgan_segments = {"gather", "step", "scan"}
+        cgan_segments = {"gather", "prepare", "step", "scan"}
+        dropped = set() if want is None else want - cgan_segments
+        if dropped:
+            log(f"note: segments {sorted(dropped)} are CVAE-internal; "
+                f"skipped for --model cgan")
         want = cgan_segments if want is None else want & cgan_segments
     else:
         arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4)
@@ -191,18 +207,29 @@ def main():
     results["fetch_floor"] = {"ms": round(_FETCH_FLOOR[0] * 1e3, 3)}
     log(f"fetch floor (scalar round trip): {_FETCH_FLOOR[0] * 1e3:.2f} ms")
 
+    def _ratio(num, t, peak, digits):
+        """None (JSON null) when the numerator OR the peak is unknown."""
+        if np.isnan(num) or np.isnan(peak):
+            return None
+        return round(100 * num / t / peak, digits)
+
     def run(name, fn, fargs, n=None):
-        t, fl, by = bench(fn, fargs, n=n or args.repeats)
+        t, fl, by, floored = bench(fn, fargs, n=n or args.repeats)
         results[name] = {
             "ms": round(t * 1e3, 3),
             "gflops": None if np.isnan(fl) else round(fl / 1e9, 2),
             "mbytes": None if np.isnan(by) else round(by / 1e6, 1),
-            "mfu_pct": None if np.isnan(fl) else round(100 * fl / t / peak_f, 2),
-            "bw_pct": None if np.isnan(by) else round(100 * by / t / peak_b, 1),
+            # MFU/BW from a floor-dominated time would be noise amplified
+            # by the subtraction — withhold them rather than mislead
+            "mfu_pct": None if floored else _ratio(fl, t, peak_f, 2),
+            "bw_pct": None if floored else _ratio(by, t, peak_b, 1),
         }
+        if floored:
+            results[name]["floor_dominated"] = True
         r = results[name]
         log(f"{name:>10s}: {r['ms']:8.2f} ms  flops={r['gflops']} G  "
-            f"bytes={r['mbytes']} MB  MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
+            f"bytes={r['mbytes']} MB  MFU={r['mfu_pct']}%  BW={r['bw_pct']}%"
+            + ("  [floor-dominated]" if floored else ""))
         return t
 
     # --- gather ---------------------------------------------------------- #
@@ -324,7 +351,9 @@ def main():
     if sel("paint"):
         from baryon_painter_tpu.painter import CVAEPainter
         painter = CVAEPainter.from_trainer(trainer)
-        tiles = jnp.asarray(np.asarray(raw_input, np.float32))
+        # gather already returns an on-device float32 batch; a host
+        # round-trip here would charge ~25 MB of tunnel transfer to setup
+        tiles = raw_input
 
         def paint(v, t, zz, k):
             return painter._paint_fn(v, t, zz, k, transform=True,
@@ -350,8 +379,9 @@ def main():
                 return trainer._train_scan_impl(st, s, (dk, sk), k,
                                                 ones_k * 1e-3, ones_k, ones_k)
 
-        t_scan, fl, by = bench(scan_fn, (state, stacks, digits_k, steps, key),
-                               n=max(3, args.repeats // 4))
+        t_scan, fl, by, floored = bench(
+            scan_fn, (state, stacks, digits_k, steps, key),
+            n=max(3, args.repeats // 4))
         # XLA cost_analysis counts a scan/while BODY once regardless of trip
         # count (verified: the K-step scan reports the same flops as one
         # fwd+bwd), so `fl`/`by` here already ARE per-step numbers and the
@@ -362,16 +392,19 @@ def main():
             "ms_per_step": round(t_step * 1e3, 3),
             "gflops_per_step": None if np.isnan(fl) else round(fl / 1e9, 2),
             "mbytes_per_step": None if np.isnan(by) else round(by / 1e6, 1),
-            "mfu_pct": None if np.isnan(fl) else round(100 * fl / t_step / peak_f, 2),
-            "bw_pct": None if np.isnan(by) else round(100 * by / t_step / peak_b, 1),
+            "mfu_pct": None if floored else _ratio(fl, t_step, peak_f, 2),
+            "bw_pct": None if floored else _ratio(by, t_step, peak_b, 1),
         }
+        if floored:
+            results["scan25"]["floor_dominated"] = True
         r = results["scan25"]
         log(f"{'scan25':>10s}: {r['ms_per_step']:8.2f} ms/step  "
             f"flops/step={r['gflops_per_step']} G  bytes/step={r['mbytes_per_step']} MB  "
             f"MFU={r['mfu_pct']}%  BW={r['bw_pct']}%")
 
     report = {"device_kind": kind, "tile": args.tile, "batch": B,
-              "peak_flops": peak_f, "peak_bw": peak_b,
+              "peak_flops": None if np.isnan(peak_f) else peak_f,
+              "peak_bw": None if np.isnan(peak_b) else peak_b,
               "conv_rewrites": os.environ.get(
                   "BPT_DISABLE_CONV_REWRITES", "0") != "1",
               "segments": results}
