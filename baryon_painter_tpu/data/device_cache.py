@@ -106,18 +106,25 @@ class DeviceStackCache:
             zero = np.zeros_like(one_z(zs[0]))
             arr = np.stack([one_z(zs[zi]) if zi >= 0 else zero
                             for zi in z_order], axis=1)  # (F, slots, S, G, G)
-            return jnp.asarray(arr, dtype=dtype)
+            # stay in host memory (ml_dtypes handles bf16); the device_put
+            # below places each shard directly — materializing the full
+            # un-sharded array on device 0 first would OOM on exactly the
+            # datasets the z-sharding exists for
+            return arr.astype(np.dtype(dtype), copy=False)
 
-        self.data100 = stack_all("100")
-        self.data150 = stack_all("150")
+        host100 = stack_all("100")
+        host150 = stack_all("150")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             spec = NamedSharding(mesh, P(None, mesh_axis))
-            self.data100 = jax.device_put(self.data100, spec)
-            self.data150 = jax.device_put(self.data150, spec)
+            self.data100 = jax.device_put(host100, spec)
+            self.data150 = jax.device_put(host150, spec)
         elif device is not None:
-            self.data100 = jax.device_put(self.data100, device)
-            self.data150 = jax.device_put(self.data150, device)
+            self.data100 = jax.device_put(host100, device)
+            self.data150 = jax.device_put(host150, device)
+        else:
+            self.data100 = jnp.asarray(host100)
+            self.data150 = jnp.asarray(host150)
         # z VALUE per slot (padding slots -> 0; never referenced by digits)
         z_arr = np.asarray(dataset.redshifts, np.float32)
         # host numpy -> tiny jit constant (a closed-over device array forces
@@ -133,6 +140,15 @@ class DeviceStackCache:
         # rate of two-z devices). w_z = (1/n_z)/p(z) has mean ~1 over the
         # realized batch distribution and restores the uniform-z expected
         # gradient when passed as the ELBO's sample_weight.
+        #
+        # Known residual skew the weights canNOT fix (documented in
+        # docs/scaling.md): (1) batch-norm statistics — batch means/vars and
+        # the EMA running stats still see the over-sampled redshifts at their
+        # realized (non-uniform) rate, a second-order normalization bias;
+        # (2) a POOLED spectral loss (pk_loss_per_z=False) averages spectra
+        # across the batch before the loss, so per-sample weights cannot be
+        # applied — use pk_loss_per_z=True on a skewed mesh (the trainers
+        # warn about this combination).
         n_z = len(zs)
         p_z = np.zeros(n_z)
         for d in range(self._n_dev):
@@ -329,5 +345,9 @@ class DeviceStackCache:
 
         zs = jnp.asarray(self.z_values)[digits[:, 0]]
         inputs = tiles[:, 0] * self.input_scale
+        if self.dataset.subtract_minimum:
+            # host-path parity (dataset.get_raw_batch): per-sample tile
+            # minimum subtracted from the input field
+            inputs = inputs - inputs.min(axis=(1, 2), keepdims=True)
         labels = jnp.moveaxis(tiles[:, 1:], 1, 0)  # (n_label, B, T, T)
         return inputs, labels, zs

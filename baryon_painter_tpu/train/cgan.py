@@ -159,6 +159,16 @@ class CGANTrainer:
                     self._train_step_digits_impl, donate_argnums=(0,))
                 self._train_scan = jax.jit(self._train_scan_impl,
                                            donate_argnums=(0,))
+                if (config.pk_loss_weight > 0 and not config.pk_loss_per_z
+                        and not self.device_cache.uniform_z):
+                    import warnings
+                    warnings.warn(
+                        "pooled spectral loss (pk_loss_per_z=False) on a "
+                        "z-skewed mesh: batch-mean spectra over-represent "
+                        "the over-sampled redshifts and per-sample "
+                        "importance weights cannot correct a pooled loss; "
+                        "use pk_loss_per_z=True (see docs/scaling.md).",
+                        stacklevel=2)
 
     # ------------------------------------------------------------------ #
 
@@ -350,6 +360,10 @@ class CGANTrainer:
             raise RuntimeError("Construct the trainer with device_data=True "
                                "to use step_indices.")
         digits = self.device_cache.digits(idx)
+        if self._data_sharding is not None:
+            # place rows on their devices directly (device-grouped contract),
+            # as step_scan does — an uncommitted array would force a reshard
+            digits = jax.device_put(digits, self._data_sharding)
         rng = jax.random.fold_in(self._rng, self._host_step)
         self._host_step += 1
         self.state, metrics = self._train_step_digits(
@@ -415,15 +429,19 @@ class CGANTrainer:
                     else np.random.default_rng(cfg.seed))
 
         stats = TrainingStats(self.stats_labels(), cfg.mavg_window_size,
-                              stats_filename=train_fn, resume=resuming)
+                              stats_filename=train_fn, resume=resuming,
+                              resume_up_to=n_samples if resuming else None)
         validation_stats = TrainingStats(self.stats_labels(),
                                          cfg.mavg_window_size,
                                          stats_filename=val_fn,
                                          dump_to_file_frequency=1,
-                                         resume=resuming)
+                                         resume=resuming,
+                                         resume_up_to=(n_samples if resuming
+                                                       else None))
         t0 = time.time()
         lr = cfg.learning_rate * cfg.lr_decay ** i_pepoch
         pending = []
+        last_report = n_samples  # console cadence only; not checkpointed
 
         def snapshot_progress():
             self._progress = {"n_samples": n_samples, "i_pepoch": i_pepoch,
@@ -449,6 +467,9 @@ class CGANTrainer:
                         and cfg.validation_loss_frequency > 0):
                     horizons.append(last_val_loss
                                     + cfg.validation_loss_frequency)
+                if cfg.verbose and cfg.statistics_report_frequency > 0:
+                    horizons.append(last_report
+                                    + cfg.statistics_report_frequency)
                 until = max(min(horizons) - n_samples, 1)
                 k = min(max(1, cfg.stats_sync_every),
                         -(-until // cfg.batch_size))
@@ -490,7 +511,10 @@ class CGANTrainer:
                 self.save(os.path.join(out, f"checkpoint_sample{n_samples:0>10}"))
                 ckpt.rotate_checkpoints(out, cfg.keep_last_checkpoints)
             if (cfg.verbose and pending
-                    and stats.n_batches % 50 < len(pending)):
+                    and cfg.statistics_report_frequency > 0
+                    and n_samples - cfg.statistics_report_frequency
+                    >= last_report):
+                last_report = n_samples
                 self._flush_stats(pending, stats)
                 rate = n_samples / (time.time() - t0)
                 d = stats.loss_terms["loss_D"]["mavg"][-1]

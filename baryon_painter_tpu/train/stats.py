@@ -51,10 +51,17 @@ class TrainingStats:
                  moving_average_window: int = 100,
                  dump_to_file_frequency: int = 10,
                  stats_filename: Optional[str] = None,
-                 resume: bool = False):
+                 resume: bool = False,
+                 resume_up_to: Optional[int] = None):
         """``resume=True`` re-loads an existing stats file into the history
         (batch numbering, moving averages and file rows continue seamlessly)
-        instead of truncating it — required for resumed training runs."""
+        instead of truncating it — required for resumed training runs.
+
+        ``resume_up_to``: drop resumed rows whose sample count exceeds this
+        value (and rewrite the file without them). A crashed run flushes
+        rows past its last checkpoint; replaying from the checkpoint would
+        otherwise duplicate that orphaned segment in the history and the
+        moving averages."""
         self.mavg_window = moving_average_window
         self.n_batches = 0
         self.n_processed_samples: List[int] = []
@@ -67,21 +74,34 @@ class TrainingStats:
         self.stats_filename = stats_filename
         if stats_filename is not None:
             if resume and os.path.exists(stats_filename):
-                self._resume_from_file(stats_filename)
+                self._resume_from_file(stats_filename, resume_up_to)
             else:
                 with open(stats_filename, "w") as f:
                     f.write("# Batch nr, sample nr, {}\n".format(
                         ", ".join(loss_terms)))
 
-    def _resume_from_file(self, filename: str):
+    def _resume_from_file(self, filename: str,
+                          up_to: Optional[int] = None):
         header_terms, samples, rows = parse_stats_file(filename)
         if header_terms != list(self.loss_terms):
             raise ValueError(
                 f"Stats file {filename} terms {header_terms} do not match "
                 f"the current run's {list(self.loss_terms)}.")
+        dropped = 0
         for n_sample, vals in zip(samples, rows):
+            if up_to is not None and n_sample > up_to:
+                dropped += 1
+                continue
             self._push(n_sample, vals)
         self.last_dump_to_file = self.n_batches
+        if dropped:
+            # rewrite without the orphaned tail (rows a crashed run flushed
+            # past its last checkpoint) so replaying cannot duplicate them
+            with open(filename, "w") as f:
+                f.write("# Batch nr, sample nr, {}\n".format(
+                    ", ".join(self.loss_terms)))
+                for s in range(self.n_batches):
+                    f.write(self.get_str(s) + "\n")
 
     def _push(self, n_sample: int, values):
         self.n_batches += 1

@@ -200,6 +200,16 @@ class CVAETrainer:
                     self._train_step_digits_impl, donate_argnums=(0,))
                 self._train_scan = jax.jit(self._train_scan_impl,
                                            donate_argnums=(0,))
+                if (config.pk_loss_weight > 0 and not config.pk_loss_per_z
+                        and not self.device_cache.uniform_z):
+                    import warnings
+                    warnings.warn(
+                        "pooled spectral loss (pk_loss_per_z=False) on a "
+                        "z-skewed mesh: batch-mean spectra over-represent "
+                        "the over-sampled redshifts and per-sample "
+                        "importance weights cannot correct a pooled loss; "
+                        "use pk_loss_per_z=True (see docs/scaling.md).",
+                        stacklevel=2)
 
     # ------------------------------------------------------------------ #
 
@@ -494,9 +504,13 @@ class CVAETrainer:
 
         training_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
                                        stats_filename=train_fn,
-                                       resume=resuming)
+                                       resume=resuming,
+                                       resume_up_to=(n_samples if resuming
+                                                     else None))
         validation_stats = TrainingStats(stats_labels, cfg.mavg_window_size,
                                          stats_filename=val_fn,
+                                         resume_up_to=(n_samples if resuming
+                                                       else None),
                                          dump_to_file_frequency=1,
                                          resume=resuming)
 
@@ -546,7 +560,8 @@ class CVAETrainer:
                 # Fuse steps up to the next sample-count boundary (pepoch /
                 # validation / checkpoint / report) into ONE scan dispatch.
                 horizons = [last_pepoch_samples + cfg.pepoch_size]
-                if self.test_data is not None:
+                if (self.test_data is not None
+                        and cfg.validation_loss_frequency > 0):
                     horizons.append(last_val_loss + cfg.validation_loss_frequency)
                 if ckpt_template is not None:
                     horizons.append(last_ckpt + cfg.checkpoint_frequency)
@@ -583,6 +598,7 @@ class CVAETrainer:
                 self._flush_stats(pending, training_stats)
 
             if (self.test_data is not None
+                    and cfg.validation_loss_frequency > 0
                     and n_samples - cfg.validation_loss_frequency >= last_val_loss):
                 self._flush_stats(pending, training_stats)
                 last_val_loss = n_samples

@@ -36,6 +36,26 @@ def test_gather_matches_host_path(dataset):
     np.testing.assert_allclose(np.asarray(zs), host["z"])
 
 
+def test_gather_honors_subtract_minimum(tmp_path_factory):
+    """subtract_minimum (per-sample input-tile minimum) must apply on the
+    device path exactly as on the host path (dataset.get_raw_batch)."""
+    root = str(tmp_path_factory.mktemp("stacks_submin"))
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=64,
+                                 redshifts=(0.0, 1.0))
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        subtract_minimum=True,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    cache = DeviceStackCache(ds)
+    idx = np.random.default_rng(0).choice(len(ds), size=8, replace=False)
+    inputs, labels, zs = jax.jit(cache.gather)(cache.digits(idx))
+    host = ds.get_raw_batch(idx)
+    np.testing.assert_allclose(np.asarray(inputs), host["input"],
+                               rtol=1e-6, atol=1e-6)
+    assert np.allclose(np.asarray(inputs).min(axis=(1, 2)), 0.0, atol=1e-6)
+
+
 def test_fits_estimate(dataset):
     nbytes = DeviceStackCache.nbytes(dataset)
     # 2 fields * 3 z * (3+3 stacks) * 64^2 * 4
