@@ -56,19 +56,19 @@ def blend_tiles(tiles, weights, origins, plane_size: int):
     return plane, wplane
 
 
-def _extract_tiles_device(plane, origins_frac, tile_relative_size):
-    """Gather all (periodic) tiles at native resolution, on device.
+def _extract_tiles_device(plane, origin_pairs_frac, tile_relative_size):
+    """Gather (periodic) tiles at native resolution, on device.
 
-    plane: (n, n) jnp array; returns (n_tiles^2, n_nat, n_nat)."""
+    plane: (n, n) jnp array; origin_pairs_frac: sequence of (ox, oy)
+    relative origins; returns (len(pairs), n_nat, n_nat). Origins round
+    (matching tiling._origin_px) — truncation would misalign extraction vs
+    blend placement by one pixel on affected plane sizes."""
     n = plane.shape[0]
     n_nat = int(n * tile_relative_size)
-    origin_px = (np.asarray(origins_frac) * n).astype(np.int64)
-    rows = (origin_px[:, None] + np.arange(n_nat)[None, :]) % n  # (m, n_nat)
-    rows = jnp.asarray(rows)
-    m = len(origin_px)
-    # (m, m, n_nat, n_nat) via advanced indexing, then flatten tile grid
-    tiles = plane[rows[:, None, :, None], rows[None, :, None, :]]
-    return tiles.reshape(m * m, n_nat, n_nat)
+    o = np.rint(np.asarray(origin_pairs_frac) * n).astype(np.int64)  # (k, 2)
+    rows = (o[:, 0:1] + np.arange(n_nat)[None, :]) % n  # (k, n_nat)
+    cols = (o[:, 1:2] + np.arange(n_nat)[None, :]) % n
+    return plane[jnp.asarray(rows)[:, :, None], jnp.asarray(cols)[:, None, :]]
 
 
 def paint_plane(painter, delta: np.ndarray, z_slice: float,
@@ -93,7 +93,7 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
     n_pixel_plane = int(delta_size / tile_size * n_pixel_tile)
     origins, _ = generate_tiling(n_pixel_plane, n_pixel_tile,
                                  min_tile_overlap)
-    origin_px = tile_origin_pixels(origins, n_pixel_plane)
+    origin_px = tile_origin_pixels(origins, n_pixel_plane, n_pixel_tile)
 
     batch_sharding = None
     if mesh is not None:
@@ -106,14 +106,28 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
     # Everything below stays on device until the final blended plane:
     # gather -> B-spline zoom -> batched paint -> weight/regularise -> blend.
     delta_dev = jnp.asarray(delta, jnp.float32)
-    raw_tiles = _extract_tiles_device(delta_dev, origins,
-                                      tile_size / delta_size)
-    n_tiles = raw_tiles.shape[0]
+    frac = tile_size / delta_size
+    n_nat = int(delta_dev.shape[0] * frac)
+    pairs = [(ox, oy) for ox in origins for oy in origins]
+    n_tiles = len(pairs)
 
     # batched resample native -> model resolution (reference zooms per tile
-    # with scipy order 3 'reflect': process_SLICS.py:205)
-    tiles = resize_spline(raw_tiles, (n_pixel_tile, n_pixel_tile),
-                          order=zoom_order, mode="reflect")
+    # with scipy order 3 'reflect': process_SLICS.py:205). Chunk the
+    # native-resolution extraction: the FFT prefilter's intermediates are
+    # ~6x the f32 tile, so a near-plane-sized tile batch would transiently
+    # need multiple GB of HBM; zoomed (n_pixel_tile^2) outputs are small.
+    k_zoom = max(1, min(n_tiles, (1 << 30) // max(1, n_nat * n_nat * 4 * 6)))
+    zoomed = []
+    for lo in range(0, n_tiles, k_zoom):
+        sub = pairs[lo:lo + k_zoom]
+        pad = k_zoom - len(sub)
+        if pad:  # keep one compiled zoom shape
+            sub = sub + [sub[-1]] * pad
+        raw = _extract_tiles_device(delta_dev, sub, frac)
+        z_chunk = resize_spline(raw, (n_pixel_tile, n_pixel_tile),
+                                order=zoom_order, mode="reflect")
+        zoomed.append(z_chunk[:k_zoom - pad] if pad else z_chunk)
+    tiles = zoomed[0] if len(zoomed) == 1 else jnp.concatenate(zoomed, axis=0)
 
     chunks = []
     for lo in range(0, n_tiles, paint_batch_size):
@@ -258,6 +272,7 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
 
     painted_planes = []
     problematic = []
+    shifts = None  # parsed once, first time a massplane shell needs it
     with ThreadPoolExecutor(max_workers=1) as pool:
         future = pool.submit(load_shell, 0)
         for i, z_shell in enumerate(z_SLICS):
@@ -267,7 +282,8 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
             if i + 1 < len(z_SLICS):
                 future = pool.submit(load_shell, i + 1)
             if kind == "massplane":
-                shifts = slics_io.load_random_shifts(shifts_path, LOS)
+                if shifts is None:
+                    shifts = slics_io.load_random_shifts(shifts_path, LOS)
                 painted_planes.append(paint_plane_from_massplane(
                     painter, plane, shifts[i], z_slice[i],
                     tile_size, delta_size[i], n_pixel_tile,

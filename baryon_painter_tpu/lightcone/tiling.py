@@ -21,6 +21,20 @@ __all__ = ["generate_tiling", "get_tile", "make_weight_map",
            "tile_origin_pixels"]
 
 
+def _origin_px(shift: float, n_pixel_plane: int, n_pixel_tile: int) -> int:
+    """Pixel origin of a relative tile origin.
+
+    Rounds (NOT truncates) and clamps so the last tile always reaches the
+    plane edge: int(origin * n) drops the final origin by one pixel for
+    ~13% of plane sizes (float representation of (1 - T/n) * n lands just
+    below n - T), leaving a 1-px strip covered by no tile — a NaN strip
+    after blend normalization. Extraction (get_tile) and blend placement
+    (tile_origin_pixels) MUST share this function or they misalign.
+    """
+    x0 = int(round(shift * n_pixel_plane))
+    return min(x0, max(0, n_pixel_plane - n_pixel_tile))
+
+
 def generate_tiling(n_pixel_plane: int, n_pixel_tile: int,
                     min_tile_overlap: float = 0.5):
     """Tile origins (relative) + pixel slices covering a square plane.
@@ -28,6 +42,10 @@ def generate_tiling(n_pixel_plane: int, n_pixel_tile: int,
     Returns (tile_origins, tile_slices) with the reference's structure:
     origins as fractions of the plane, slices[i][j] a 2-D numpy slice pair.
     """
+    if not 0.0 <= min_tile_overlap < 1.0:
+        raise ValueError(
+            f"min_tile_overlap must be in [0, 1), got {min_tile_overlap} "
+            "(1.0 would mean zero advance per tile)")
     r = n_pixel_tile / n_pixel_plane
     if r >= 1.0:
         m = 1
@@ -39,16 +57,21 @@ def generate_tiling(n_pixel_plane: int, n_pixel_tile: int,
     tile_slices = []
     for x_shift in tile_origins:
         row = []
-        x0 = int(x_shift * n_pixel_plane)
+        x0 = _origin_px(x_shift, n_pixel_plane, n_pixel_tile)
         for y_shift in tile_origins:
-            y0 = int(y_shift * n_pixel_plane)
+            y0 = _origin_px(y_shift, n_pixel_plane, n_pixel_tile)
             row.append(np.s_[x0:x0 + n_pixel_tile, y0:y0 + n_pixel_tile])
         tile_slices.append(row)
     return tile_origins, tile_slices
 
 
-def tile_origin_pixels(tile_origins, n_pixel_plane: int) -> np.ndarray:
-    return (np.asarray(tile_origins) * n_pixel_plane).astype(np.int32)
+def tile_origin_pixels(tile_origins, n_pixel_plane: int,
+                       n_pixel_tile: int) -> np.ndarray:
+    """Pixel origins for blend placement; same round+clamp as
+    generate_tiling (see _origin_px)."""
+    return np.asarray([_origin_px(float(s), n_pixel_plane, n_pixel_tile)
+                       for s in np.atleast_1d(np.asarray(tile_origins))],
+                      dtype=np.int32)
 
 
 def get_tile(m, shift: Tuple[float, float], tile_relative_size: float,
@@ -62,7 +85,9 @@ def get_tile(m, shift: Tuple[float, float], tile_relative_size: float,
     if expansion_factor < 1:
         raise ValueError("Expansion factors < 1 not supported.")
     n = m.shape[0]
-    origin = (int(n * shift[0]), int(n * shift[1]))
+    # round, matching generate_tiling/_origin_px: truncation would misalign
+    # extraction vs blend placement by one pixel on affected plane sizes
+    origin = (int(round(n * shift[0])), int(round(n * shift[1])))
     n_pix = int(n * tile_relative_size * expansion_factor)
     offset = int(n * tile_relative_size * (expansion_factor - 1) / 2)
     rows = (np.arange(origin[0] - offset, origin[0] - offset + n_pix)) % n
@@ -80,9 +105,11 @@ def make_weight_map(tile_shape, falloff: float = 0.05, sigma: float = 1.0):
     (so corners get both). Vectorized (the reference loops per border row).
     """
     h, w = tile_shape
-    fp = int(h * falloff)
 
     def profile(n):
+        # falloff width from THIS axis's length (a (h, w) tile gets the
+        # advertised fractional falloff on both axes, not h's on both)
+        fp = int(n * falloff)
         p = np.ones(n)
         if fp > 0:
             i = np.arange(fp)

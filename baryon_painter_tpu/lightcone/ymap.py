@@ -9,7 +9,9 @@ pyccl and the JAX B-spline resampler instead of scipy zoom:
 
 A_pix_eff is the shell-averaged physical pixel area
 < (chi * a(chi) * theta_pix)^2 > over the shell's comoving depth
-(process_SLICS.py:13-20), computed by Simpson quadrature on a dense grid.
+(process_SLICS.py:13-20), computed by trapezoidal quadrature on a dense
+grid (the reference integrates the same function with scipy quad;
+tests/test_lightcone.py cross-checks against it).
 """
 from __future__ import annotations
 
@@ -42,8 +44,10 @@ def effective_pixel_areas(cosmo: Cosmology, z: Sequence[float],
         chi = np.linspace(d_A[i], d_A[i + 1], n_quad)
         a = cosmo.scale_factor_of_chi(chi)
         f = (chi * a * theta_pix) ** 2
-        # Simpson integration, then divide by the interval
-        areas[i] = np.trapezoid(f, chi) / (d_A[i + 1] - d_A[i])
+        # trapezoidal integration on a dense grid, then divide by the
+        # interval (np.trapezoid is numpy>=2; trapz covers 1.x)
+        trap = getattr(np, "trapezoid", None) or np.trapz
+        areas[i] = trap(f, chi) / (d_A[i + 1] - d_A[i])
     return areas
 
 

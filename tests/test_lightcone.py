@@ -102,6 +102,32 @@ def test_blend_tiles_exact():
     np.testing.assert_allclose(np.asarray(plane)[6, 6], 0.5 * 1 + 0.5 * 4)
 
 
+def test_tiling_covers_every_pixel_for_all_plane_sizes():
+    """Truncating tile origins (int instead of round) used to drop the last
+    origin by one pixel for ~13% of plane sizes (e.g. N=514 at T=512,
+    overlap 0.2), leaving a 1-px strip covered by no tile — a NaN strip
+    after blend normalization. Every pixel must be covered, and the slice
+    origins must equal the blend-placement origins."""
+    from baryon_painter_tpu.lightcone.tiling import tile_origin_pixels
+    for N in [514, 517, 1198, 2534] + list(range(513, 1200, 7)):
+        origins, slices = generate_tiling(N, 512, min_tile_overlap=0.2)
+        px = tile_origin_pixels(origins, N, 512)
+        cov = np.zeros(N, bool)
+        for x0 in px:
+            assert 0 <= x0 <= N - 512, (N, x0)
+            cov[x0:x0 + 512] = True
+        assert cov.all(), f"uncovered pixels at N={N}"
+        # slices and blend placement share the same origin arithmetic
+        assert [s[0].start for s in (row[0] for row in slices)] == list(px)
+
+
+def test_generate_tiling_rejects_degenerate_overlap():
+    with pytest.raises(ValueError):
+        generate_tiling(1024, 512, min_tile_overlap=1.0)
+    with pytest.raises(ValueError):
+        generate_tiling(1024, 512, min_tile_overlap=-0.1)
+
+
 def test_paint_plane_identity_reconstructs(rng):
     """With an identity painter and delta at canvas resolution, the blended
     output must equal the input plane (weights cancel exactly)."""
@@ -128,7 +154,10 @@ def test_paint_plane_regularise(rng):
                              collect_problematic=True)
     assert len(probs) > 0
     assert all(p[0] == 0.0 for p in probs)
-    assert np.isfinite(out[np.isfinite(out)]).any()
+    # regularisation zeroes outlier weights; only pixels where EVERY
+    # overlapping tile was zeroed may be NaN (the injected spike hits one
+    # corner pixel per tile), so the plane must stay almost fully finite
+    assert np.isfinite(out).mean() > 0.95
 
 
 def test_paint_plane_from_massplane(rng):
