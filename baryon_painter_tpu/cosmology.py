@@ -21,7 +21,8 @@ C_KM_S = 299792.458  # speed of light [km/s]
 
 @dataclasses.dataclass(frozen=True)
 class Cosmology:
-    """Flat LCDM background; distances via cumulative Simpson quadrature."""
+    """Flat LCDM background; distances via cumulative trapezoid quadrature
+    (n_grid=16384 keeps it well inside the <<0.1%-vs-pyccl tolerance)."""
 
     Omega_m: float
     h: float

@@ -110,8 +110,6 @@ def _bspline_weights(t, order: int):
         def b5(u):
             au = jnp.abs(u)
             au2, au3, au4, au5 = au ** 2, au ** 3, au ** 4, au ** 5
-            f1 = (au5 / -12.0 + au4 / 4.0 - au2 / 2.0 + 11.0 / 20.0
-                  + au3 * 0.0)
             # piecewise from Unser: B5(x) for |x|<1:
             f1 = 11.0 / 20.0 - au2 / 2.0 + au4 / 4.0 - au5 / 12.0
             f2 = (17.0 / 40.0 + 5.0 * au / 8.0 - 7.0 * au2 / 4.0 + 5.0 * au3 / 4.0
@@ -145,16 +143,25 @@ def _resample_axis(c, out_n: int, order: int, mode: str, axis: int):
         scale = (n - 1) / (out_n - 1)
     else:
         scale = 0.0
-    coords = jnp.arange(out_n, dtype=c.dtype) * scale
-    base = jnp.floor(coords).astype(jnp.int32)
+    # Coordinates are static — compute them host-side in FLOAT64 like scipy
+    # does: f32 coordinate roundoff flips nearest-neighbour picks (an f32
+    # product can land exactly on .5 where the f64 value is just below) and
+    # skews spline fractions near exact knots.
+    coords64 = np.arange(out_n, dtype=np.float64) * scale
+    base64 = np.floor(coords64).astype(np.int64)
     # keep base such that frac in [0,1); at the exact right edge clamp
-    base = jnp.clip(base, 0, max(n - 2, 0)) if order >= 1 else base
-    t = coords - base.astype(c.dtype)
+    if order >= 1:
+        base64 = np.clip(base64, 0, max(n - 2, 0))
+    base = jnp.asarray(base64, jnp.int32)
+    t = jnp.asarray(coords64 - base64, c.dtype)
     w = _bspline_weights(t, order)  # (out_n, taps)
     taps = w.shape[-1]
     first = -((order - 1) // 2) if order >= 1 else 0
     if order == 0:
-        idx = jnp.round(coords).astype(jnp.int32)[:, None]
+        # scipy's nearest is floor(x + 0.5) in double precision; both
+        # jnp.round (half-to-even) and f32 coords diverge from it
+        idx = jnp.asarray(np.floor(coords64 + 0.5).astype(np.int64),
+                          jnp.int32)[:, None]
     else:
         idx = base[:, None] + (first + jnp.arange(taps))[None, :]
     idx = _map_indices(idx, n, mode)

@@ -60,7 +60,18 @@ def _pofk_impl(a, b, L, k_min, k_max, n_k_bin, logspaced_k_bins):
     # (searchsorted) lowers to a pathologically slow serialized loop on TPU.
     kk_np = k_grid(n, L).ravel()
     edges_np = bin_edges(k_min, k_max, n_k_bin, logspaced_k_bins)
-    bin_id_np = np.digitize(kk_np, edges_np) - 1
+    # Edge comparisons use a relative tolerance, and the last bin is closed:
+    # fftfreq(n)*n and logspace(log10(k_min), ...) each carry ~1-ulp
+    # roundoff, so with the DEFAULT k_min = 2*pi/L the four fundamental
+    # modes usually landed just below edges[0] and the first bin of the
+    # primary fidelity metric was silently EMPTY (and exact-Nyquist modes
+    # fell off the right-open last bin). 1e-9 relative is ~1e6 ulps yet
+    # vastly smaller than any bin width, so assignment is deterministic.
+    rel = 1e-9
+    bin_id_np = np.digitize(kk_np, edges_np * (1.0 - rel)) - 1
+    bin_id_np = np.where(
+        (bin_id_np == n_k_bin) & (kk_np <= edges_np[-1] * (1.0 + rel)),
+        n_k_bin - 1, bin_id_np)
     valid_np = (kk_np > 0) & (bin_id_np >= 0) & (bin_id_np < n_k_bin)
     kk = jnp.asarray(kk_np, dtype=a.dtype)
     valid = jnp.asarray(valid_np)
@@ -80,8 +91,13 @@ def _pofk_impl(a, b, L, k_min, k_max, n_k_bin, logspaced_k_bins):
         s2 = jax.ops.segment_sum(jnp.where(valid, p * p, 0.0), bin_id,
                                  num_segments=n_k_bin + 1)[:n_k_bin]
         mean = s1 / jnp.maximum(n_mode, 1)
-        var = s2 / jnp.maximum(n_mode, 1) - mean ** 2
-        # variance of the binned estimate
+        # clamp: the one-pass form can go ~1e-7*s2/n negative in f32 via
+        # cancellation, and sqrt(Pk_var) must not NaN
+        var = jnp.maximum(s2 / jnp.maximum(n_mode, 1) - mean ** 2, 0.0)
+        # variance of the binned estimate. NOTE: n_mode counts +k and -k of
+        # a real field separately (their power is identical), so this
+        # underestimates the variance of the mean by ~2x; scale by
+        # sqrt(2/n_mode) for error bars on real fields.
         return mean, var / jnp.maximum(n_mode, 1)
 
     pk_mean, pk_var = jax.vmap(binned)(flat)

@@ -170,7 +170,11 @@ class RangeCompress:
         if mode == "x/(1+x)":
             return std / (k[0] / (x + k[1]) - 1)
         if mode == "1/x":
-            return jnp.where(x >= -1, (2 / (x + 1.001) - 1) * std * mean * k, 0.0)
+            # the forward map's range is (-1.001, -1) for large fields, so
+            # the inverse must accept down to -1.001 — a cutoff at -1 would
+            # zero exactly the brightest pixels on the round trip
+            return jnp.where(x > -1.001,
+                             (2 / (x + 1.001) - 1) * std * mean * k, 0.0)
         raise AssertionError(mode)
 
     def to_dict(self):

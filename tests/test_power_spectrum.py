@@ -84,6 +84,31 @@ def test_shape_validation():
         pseudo_pofk_2d(jnp.zeros((8, 8)), jnp.zeros((4, 4)), L=1.0)
 
 
+@pytest.mark.parametrize("n", [96, 100, 128, 384])
+@pytest.mark.parametrize("L", [100.0, 120.0, 505.0])
+def test_default_bins_keep_fundamental_and_nyquist(rng, n, L):
+    """With DEFAULT k_min/k_max, the four fundamental modes must land in
+    bin 0 and the axis-Nyquist modes in the last bin — edge-mode roundoff
+    (fftfreq/logspace 1-ulp errors) used to leave bin 0 silently empty for
+    most L, emptying the largest-scale bin of the primary fidelity gate."""
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    pk, k, _, n_mode = pseudo_pofk_2d(jnp.asarray(x), L=L, n_k_bin=12)
+    n_mode = np.asarray(n_mode)
+    assert n_mode[0] >= 4, f"fundamental modes dropped (n={n}, L={L})"
+    assert n_mode[-1] >= 2, f"Nyquist modes dropped (n={n}, L={L})"
+    assert np.asarray(pk)[0] != 0.0
+
+
+def test_pk_var_is_nonnegative(rng):
+    """The one-pass variance must clamp at zero (f32 cancellation made it
+    slightly negative for low-scatter bins, NaN-ing sqrt error bars)."""
+    n = 128
+    x = np.full((n, n), 0.0, np.float32)
+    x[0, 1] = 1.0  # a single mode: zero scatter within its bin
+    _, _, pk_var, _ = pseudo_pofk_2d(jnp.asarray(x), L=100.0, n_k_bin=12)
+    assert (np.asarray(pk_var) >= 0).all()
+
+
 def test_parseval(rng):
     """Sum over all modes of P equals variance * L^2 (power conservation)."""
     n, L = 64, 37.0

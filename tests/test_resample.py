@@ -40,6 +40,15 @@ def test_zoom_matches_scipy(rng, order, mode, zf):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4 * scale)
 
 
+def test_zoom_nearest_matches_scipy_at_half_integer_coords():
+    """order=0 must use scipy's floor(x+0.5) nearest rule; round-half-to-
+    even diverged on even zoom ratios (exact .5 coordinates)."""
+    x = np.arange(9, dtype=np.float32).reshape(3, 3)
+    got = np.asarray(zoom(jnp.asarray(x), 5 / 3, order=0, mode="reflect"))
+    want = scipy_zoom(x, zoom=5 / 3, order=0, mode="reflect")
+    np.testing.assert_array_equal(got, want)
+
+
 def test_zoom_identity(rng):
     x = rng.standard_normal((16, 16)).astype(np.float32)
     got = np.asarray(zoom(jnp.asarray(x), 1.0, order=3, mode="mirror"))

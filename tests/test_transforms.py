@@ -104,6 +104,20 @@ def test_round_trip(rng, mode, k):
     np.testing.assert_allclose(x_rec, x, atol=atol, rtol=1e-3)
 
 
+def test_one_over_x_round_trips_bright_pixels(rng):
+    """The '1/x' forward maps very large x into (-1.001, -1); the inverse
+    must accept that full range — a cutoff at -1 zeroed exactly the
+    brightest pixels (cluster cores) on the round trip."""
+    stats = make_stats(rng)
+    z = 0.6
+    t = RangeCompress(mode="1/x", k=1.5)
+    mean, var = numpy_interp_stats(stats, z)
+    big = np.float32(3000.0 * np.sqrt(var) * mean * 1.5)
+    x = np.array([[big, 2 * big]], np.float32)
+    rec = np.asarray(t.inverse(t.forward(jnp.asarray(x), stats, z), stats, z))
+    np.testing.assert_allclose(rec, x, rtol=5e-3)
+
+
 def test_fwd_of_inv_exact(rng):
     """fwd(inv(y)) == y exactly-ish (mirrors test_dataset.py:71-74)."""
     stats = make_stats(rng)
