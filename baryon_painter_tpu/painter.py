@@ -186,12 +186,22 @@ class CVAEPainter(Painter):
 
     @classmethod
     def from_trainer(cls, trainer, seed: int = 0,
-                     fused_inference: bool = False):
+                     fused_inference: bool = False, dtype="keep"):
+        """Painter over the trainer's live state.
+
+        ``dtype="keep"`` paints with the trainer's own model (its training
+        compute dtype, typically bfloat16); any other value (including
+        ``None`` = float32 input dtype) rebuilds the paint model with that
+        conv compute dtype over the same parameters — used by the fidelity
+        gate to score a checkpoint under portable f32 arithmetic.
+        """
         meta = ckpt.meta_from_dataset(trainer.training_data,
                                       trainer.model.architecture)
         variables = {"params": trainer.state.params,
                      "batch_stats": trainer.state.batch_stats}
-        return cls(model=trainer.model, variables=variables, meta=meta,
+        model = (trainer.model if dtype == "keep"
+                 else CVAE(trainer.model.architecture, dtype=dtype))
+        return cls(model=model, variables=variables, meta=meta,
                    seed=seed, fused_inference=fused_inference)
 
     def load_state_from_file(self, filename: str):
@@ -324,7 +334,14 @@ class CGANPainter(Painter):
         self._paint_fn = _paint
 
     @classmethod
-    def from_trainer(cls, trainer):
+    def from_trainer(cls, trainer, dtype="keep"):
+        """Painter over the trainer's live generator state.
+
+        ``dtype`` as in ``CVAEPainter.from_trainer``: "keep" paints with the
+        trainer's generator (training compute dtype); anything else rebuilds
+        the generator with that conv compute dtype over the same parameters.
+        """
+        from baryon_painter_tpu.models.cgan import CGANGenerator
         meta = ckpt.meta_from_dataset(
             trainer.training_data,
             {"n_res_blocks": trainer.generator.n_res_blocks,
@@ -333,8 +350,15 @@ class CGANPainter(Painter):
             model_kind="cgan")
         variables = {"params": trainer.state.g_params,
                      "batch_stats": trainer.state.g_stats}
-        return cls(generator=trainer.generator, variables=variables,
-                   meta=meta)
+        g = trainer.generator
+        if dtype != "keep":
+            g = CGANGenerator(in_channels=g.in_channels,
+                              n_res_blocks=g.n_res_blocks,
+                              spectral_norm=g.spectral_norm,
+                              upsample=g.upsample,
+                              fused_res_blocks=g.fused_res_blocks,
+                              dtype=dtype)
+        return cls(generator=g, variables=variables, meta=meta)
 
     def load_state_from_file(self, filename: str):
         from baryon_painter_tpu.models.cgan import CGANGenerator

@@ -86,6 +86,16 @@ def main():
                    help="weight of the spectral auxiliary loss "
                         "(trainer.TrainConfig.pk_loss_weight); the ELBO is "
                         "O(1e5)/sample so useful values are ~1e4-1e6")
+    p.add_argument("--gate-dtype", default="both",
+                   choices=["model", "f32", "both"],
+                   help="conv compute dtype(s) the P(k) gate paints with: "
+                        "'model' = the training model's dtype (bfloat16 — "
+                        "the historical behavior), 'f32' = portable float32, "
+                        "'both' (default) = score and select on the worst of "
+                        "the two. A fine-tune selected on bf16 alone can "
+                        "overfit the gate to one platform's rounding "
+                        "(observed: a bf16-TPU-selected checkpoint at 0.026 "
+                        "scored 0.44 under CPU bf16 emulation)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
@@ -148,34 +158,61 @@ def main():
                                 stack_offset=0, n_tile=2,
                                 tile_permutations=True,
                                 transforms=transforms)
+    # When restoring, the checkpoint's own meta is the architecture source
+    # of truth — a CLI flag mismatch (e.g. forgetting --upsample resize for
+    # a resize-decoder checkpoint) must not rebuild a different model.
+    ckpt_base = (args.checkpoint if args.checkpoint is not None
+                 else os.path.join(args.workdir,
+                                   f"fidelity_model_{args.model}"))
+    meta_arch = None
+    if (args.resume or args.eval_only) and os.path.exists(
+            ckpt_base + "_meta.json"):
+        with open(ckpt_base + "_meta.json") as f:
+            meta_arch = json.load(f).get("model_architecture")
+        # the CVAE arch dict bakes the decoder choice into its DSL layers;
+        # only the CGAN meta carries an explicit upsample key to honor
+        if (args.model == "cgan" and meta_arch is not None
+                and "upsample" in meta_arch
+                and meta_arch["upsample"] != args.upsample):
+            print(f"note: checkpoint meta says upsample="
+                  f"{meta_arch['upsample']!r}; overriding --upsample",
+                  file=sys.stderr, flush=True)
+            args.upsample = meta_arch["upsample"]
+
     if args.model == "cvae":
-        arch = fiducial_cvae_architecture(tile_size=args.tile, n_res_blocks=4,
-                                          upsample=args.upsample)
+        arch = (meta_arch if meta_arch is not None else
+                fiducial_cvae_architecture(tile_size=args.tile,
+                                           n_res_blocks=4,
+                                           upsample=args.upsample))
         trainer = CVAETrainer(
             CVAE(arch, dtype=jnp.bfloat16), train_ds,
             config=TrainConfig(seed=args.seed,
                                pk_loss_weight=args.pk_loss_weight,
                                pk_loss_per_z=args.pk_loss_weight > 0),
             device_data=True)
-        make_painter = lambda: CVAEPainter.from_trainer(trainer)
+        make_painter = lambda dtype="keep": CVAEPainter.from_trainer(
+            trainer, dtype=dtype)
     else:
         from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
                                                     CGANGenerator)
         from baryon_painter_tpu.painter import CGANPainter
         from baryon_painter_tpu.train.cgan import (CGANTrainConfig,
                                                    CGANTrainer)
+        gen_kw = dict(upsample=args.upsample)
+        if meta_arch is not None:
+            gen_kw.update(
+                in_channels=meta_arch.get("in_channels", 2),
+                n_res_blocks=meta_arch.get("n_res_blocks", 9))
         trainer = CGANTrainer(train_ds, test_data=val_ds,
-                              generator=CGANGenerator(upsample=args.upsample),
+                              generator=CGANGenerator(**gen_kw),
                               discriminator=CGANDiscriminator(),
                               config=CGANTrainConfig(
                                   seed=args.seed, batch_size=args.batch,
                                   pk_loss_weight=args.pk_loss_weight,
                                   pk_loss_per_z=args.pk_loss_weight > 0),
                               device_data=True)
-        make_painter = lambda: CGANPainter.from_trainer(trainer)
-    ckpt_base = (args.checkpoint if args.checkpoint is not None
-                 else os.path.join(args.workdir,
-                                   f"fidelity_model_{args.model}"))
+        make_painter = lambda dtype="keep": CGANPainter.from_trainer(
+            trainer, dtype=dtype)
     if ((args.resume or args.eval_only)
             and os.path.exists(ckpt_base + "_state.msgpack")):
         trainer.restore(ckpt_base)
@@ -190,7 +227,14 @@ def main():
             f"checkpoint {ckpt_base} exists; pass --resume to continue from "
             f"it or --eval-only to score it (refusing to overwrite with a "
             f"fresh-seed run)")
-    painter = make_painter()
+    # the gate paints under these conv compute dtypes; "keep" = the
+    # training model's dtype (bf16), None = float32 input dtype. f32 leads
+    # so it is the headline (portable arithmetic); pass/selection use the
+    # worst across all of them.
+    gate_dtypes = {"model": [("model", "keep")],
+                   "f32": [("f32", None)],
+                   "both": [("f32", None), ("model", "keep")]}[args.gate_dtype]
+    painter = make_painter(dtype=gate_dtypes[0][1])
 
     # warm the paint graph + baseline errors with untrained weights
     auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed)
@@ -269,12 +313,15 @@ def main():
             stats.push_loss(sample_base + (done + i + 1) * args.batch, *vals)
 
     def gate_metric():
-        """max over z of max(auto, cross) — the pass_5pct criterion."""
-        p = make_painter()
+        """max over gate dtypes and z of max(auto, cross) — the pass_5pct
+        criterion. Scoring the worst dtype keeps the selected parameters in
+        a rounding-robust minimum instead of one platform's arithmetic."""
         worst = 0.0
-        for z in val_ds.redshifts:
-            az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
-            worst = max(worst, az, cz)
+        for _, dt in gate_dtypes:
+            p = make_painter(dtype=dt)
+            for z in val_ds.redshifts:
+                az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
+                worst = max(worst, az, cz)
         return worst
 
     best = (float("inf"), None)
@@ -343,7 +390,7 @@ def main():
         trainer.save(ckpt_base)
         if stats is not None:
             stats.flush_to_file()
-    painter = make_painter()
+    painter = make_painter(dtype=gate_dtypes[0][1])
     if args.save_figures:
         if trainer.test_data is None:
             trainer.test_data = val_ds
@@ -353,11 +400,17 @@ def main():
                 args.workdir, f"{args.model}_{{plot_type}}.png"))
         print(f"figures saved in {args.workdir}", file=sys.stderr, flush=True)
     auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed)
-    # the gate is per-redshift (validation_plotting.py:76-158 panels per z)
-    per_z = {}
-    for z in val_ds.redshifts:
-        az, cz, _ = pk_errors(painter, val_ds, seed=args.seed, z=z)
-        per_z[f"{z:g}"] = {"auto": round(az, 4), "cross": round(cz, 4)}
+    # the gate is per-redshift (validation_plotting.py:76-158 panels per z),
+    # and under --gate-dtype both it must hold for every compute dtype
+    per_z_by_dtype = {}
+    for label, dtp in gate_dtypes:
+        p = painter if dtp == gate_dtypes[0][1] else make_painter(dtype=dtp)
+        d = {}
+        for z in val_ds.redshifts:
+            az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
+            d[f"{z:g}"] = {"auto": round(az, 4), "cross": round(cz, 4)}
+        per_z_by_dtype[label] = d
+    per_z = per_z_by_dtype[gate_dtypes[0][0]]
     dt = time.time() - t0
     print(json.dumps({
         "metric": "pk_fractional_error_after_training",
@@ -373,9 +426,12 @@ def main():
         "auto_clipped": round(diag1["auto_clipped"], 4),
         "mean_ratio": round(diag1["mean_ratio"], 4),
         "std_ratio": round(diag1["std_ratio"], 4),
+        "gate_dtype": args.gate_dtype,
         "per_z": per_z,
+        **({"per_z_by_dtype": per_z_by_dtype} if len(gate_dtypes) > 1 else {}),
         "pass_5pct": bool(all(v["auto"] < 0.05 and v["cross"] < 0.05
-                              for v in per_z.values())),
+                              for d in per_z_by_dtype.values()
+                              for v in d.values())),
     }))
 
 

@@ -146,3 +146,25 @@ def test_checkpoint_roundtrip_painting(painter, trainer, tmp_path):
     out1 = np.asarray(painter.paint_batch(tile[None], np.zeros(1), rng=rng))
     out2 = np.asarray(p2.paint_batch(tile[None], np.zeros(1), rng=rng))
     np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-6)
+
+
+def test_from_trainer_dtype_override(trainer):
+    """from_trainer(dtype=...) rebuilds the paint model in that compute
+    dtype over the same parameters: the fidelity gate scores checkpoints
+    under portable f32 AND the training dtype (a fine-tune selected on one
+    platform's bf16 rounding alone scored 17x worse under another's)."""
+    import jax.numpy as jnp
+    p_keep = CVAEPainter.from_trainer(trainer)
+    p_f32 = CVAEPainter.from_trainer(trainer, dtype=None)
+    p_bf16 = CVAEPainter.from_trainer(trainer, dtype=jnp.bfloat16)
+    assert p_f32.model.dtype is None
+    assert p_bf16.model.dtype == jnp.bfloat16
+    assert p_keep.model is trainer.model
+    tile = trainer.training_data.get_input_sample(1, transform=False)
+    rng = jax.random.PRNGKey(11)
+    outs = [np.asarray(p.paint_batch(tile[None], np.zeros(1), rng=rng))
+            for p in (p_keep, p_f32, p_bf16)]
+    # same params, same prior draws -> close but not identical across dtypes
+    for o in outs:
+        assert np.all(np.isfinite(o))
+    np.testing.assert_allclose(outs[1], outs[2], rtol=0.15, atol=0.15)
