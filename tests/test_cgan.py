@@ -140,6 +140,29 @@ def test_gan_from_trainer_painter(dataset, trainer):
     assert out.shape == (2, TILE, TILE)
 
 
+def test_gan_from_trainer_dtype_override(dataset, trainer):
+    """from_trainer(dtype=...) paints the live generator state in a chosen
+    compute dtype (the dual-dtype fidelity gate; see CVAE counterpart)."""
+    import jax.numpy as jnp
+    p_keep = CGANPainter.from_trainer(trainer)
+    p_f32 = CGANPainter.from_trainer(trainer, dtype=None)
+    p_bf16 = CGANPainter.from_trainer(trainer, dtype=jnp.bfloat16)
+    assert p_keep.generator is trainer.generator
+    assert p_f32.generator.dtype is None
+    assert p_bf16.generator.dtype == jnp.bfloat16
+    # the rebuilt generator must preserve every architecture knob
+    for attr in ("in_channels", "n_res_blocks", "spectral_norm", "upsample",
+                 "fused_res_blocks"):
+        assert getattr(p_f32.generator, attr) == getattr(
+            trainer.generator, attr)
+    tile = dataset.get_input_sample(0, transform=False)
+    outs = [np.asarray(p.paint_batch(tile[None], np.zeros(1, np.float32)))
+            for p in (p_f32, p_bf16)]
+    for o in outs:
+        assert np.all(np.isfinite(o))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0.15, atol=0.15)
+
+
 def test_gan_step_scan_matches_sequential(dataset):
     """K scan-fused G/D steps == K sequential step_indices calls."""
     def make():
