@@ -199,8 +199,10 @@ class CVAEPainter(Painter):
                                       trainer.model.architecture)
         variables = {"params": trainer.state.params,
                      "batch_stats": trainer.state.batch_stats}
+        # clone() preserves every module field, so an architecture knob
+        # added later cannot silently revert to its default here
         model = (trainer.model if dtype == "keep"
-                 else CVAE(trainer.model.architecture, dtype=dtype))
+                 else trainer.model.clone(dtype=dtype))
         return cls(model=model, variables=variables, meta=meta,
                    seed=seed, fused_inference=fused_inference)
 
@@ -341,7 +343,6 @@ class CGANPainter(Painter):
         trainer's generator (training compute dtype); anything else rebuilds
         the generator with that conv compute dtype over the same parameters.
         """
-        from baryon_painter_tpu.models.cgan import CGANGenerator
         meta = ckpt.meta_from_dataset(
             trainer.training_data,
             {"n_res_blocks": trainer.generator.n_res_blocks,
@@ -350,14 +351,9 @@ class CGANPainter(Painter):
             model_kind="cgan")
         variables = {"params": trainer.state.g_params,
                      "batch_stats": trainer.state.g_stats}
-        g = trainer.generator
-        if dtype != "keep":
-            g = CGANGenerator(in_channels=g.in_channels,
-                              n_res_blocks=g.n_res_blocks,
-                              spectral_norm=g.spectral_norm,
-                              upsample=g.upsample,
-                              fused_res_blocks=g.fused_res_blocks,
-                              dtype=dtype)
+        # clone() preserves every module field (see CVAE counterpart)
+        g = (trainer.generator if dtype == "keep"
+             else trainer.generator.clone(dtype=dtype))
         return cls(generator=g, variables=variables, meta=meta)
 
     def load_state_from_file(self, filename: str):

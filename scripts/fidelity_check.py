@@ -170,14 +170,31 @@ def main():
         with open(ckpt_base + "_meta.json") as f:
             meta_arch = json.load(f).get("model_architecture")
         # the CVAE arch dict bakes the decoder choice into its DSL layers;
-        # only the CGAN meta carries an explicit upsample key to honor
-        if (args.model == "cgan" and meta_arch is not None
-                and "upsample" in meta_arch
-                and meta_arch["upsample"] != args.upsample):
-            print(f"note: checkpoint meta says upsample="
-                  f"{meta_arch['upsample']!r}; overriding --upsample",
-                  file=sys.stderr, flush=True)
-            args.upsample = meta_arch["upsample"]
+        # only the CGAN meta carries an explicit upsample key to honor.
+        # Pre-'upsample'-meta CGAN checkpoints: sniff the state dict (a
+        # transposed-conv generator carries ConvTranspose2d kernels).
+        if args.model == "cgan" and meta_arch is not None:
+            if "upsample" in meta_arch:
+                sniffed = meta_arch["upsample"]
+            elif os.path.exists(ckpt_base + "_state.msgpack"):
+                import flax.serialization
+
+                def _has_transpose(d):
+                    return any("ConvTranspose" in k
+                               or (isinstance(v, dict) and _has_transpose(v))
+                               for k, v in d.items())
+
+                with open(ckpt_base + "_state.msgpack", "rb") as f:
+                    raw = flax.serialization.msgpack_restore(f.read())
+                sniffed = ("transpose"
+                           if _has_transpose(raw.get("g_params", raw))
+                           else "resize")
+            else:
+                sniffed = args.upsample
+            if sniffed != args.upsample:
+                print(f"note: checkpoint generator is upsample={sniffed!r}; "
+                      f"overriding --upsample", file=sys.stderr, flush=True)
+                args.upsample = sniffed
 
     if args.model == "cvae":
         arch = (meta_arch if meta_arch is not None else
@@ -234,6 +251,12 @@ def main():
     gate_dtypes = {"model": [("model", "keep")],
                    "f32": [("f32", None)],
                    "both": [("f32", None), ("model", "keep")]}[args.gate_dtype]
+    train_dtype = (trainer.model.dtype if args.model == "cvae"
+                   else trainer.generator.dtype)
+    if len(gate_dtypes) > 1 and train_dtype in (None, jnp.float32):
+        # the model already computes in f32 — a second "model" leg would
+        # paint byte-identical tiles and report a fake dtype distinction
+        gate_dtypes = [("f32", None)]
     painter = make_painter(dtype=gate_dtypes[0][1])
 
     # warm the paint graph + baseline errors with untrained weights

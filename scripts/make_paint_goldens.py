@@ -18,10 +18,11 @@ The reference has no analogue (its trained blobs are missing upstream,
 import os
 import sys
 
-if "JAX_PLATFORMS" not in os.environ:
-    # a TPU-session sitecustomize may force-initialize the (possibly wedged)
-    # TPU backend before __main__ runs; goldens must be portable f32-on-CPU,
-    # so require the platform pinned from the parent environment
+if os.environ.get("JAX_PLATFORMS") != "cpu":
+    # a TPU-session sitecustomize may force-initialize the TPU backend
+    # before __main__ runs, and TPU f32 convs (default MXU precision) differ
+    # from CPU f32 by far more than the pin test's tolerance; goldens must
+    # be portable f32-on-CPU, pinned from the parent environment
     raise SystemExit("run as: JAX_PLATFORMS=cpu python "
                      "scripts/make_paint_goldens.py (goldens are pinned to "
                      "portable CPU float32 arithmetic)")
@@ -40,6 +41,10 @@ from golden_utils import GOLDEN_PATH, MODELS, paint_golden  # noqa: E402
 
 
 def main():
+    import jax
+    if jax.default_backend() != "cpu":
+        raise SystemExit(f"jax backend is {jax.default_backend()!r}; goldens "
+                         f"must be painted on cpu")
     arrays = {}
     for name, base, kind, tile, n in MODELS:
         if not os.path.exists(os.path.join(REPO, base + "_state.msgpack")):
