@@ -1,0 +1,65 @@
+"""End-to-end smoke of the fidelity_check CLI surface.
+
+Runs the real script (subprocess, tiny geometry) and locks in the report
+contract the judge and the promotion tooling consume: the dual-dtype gate
+fields, best-checkpoint artifacts, and checkpoint-meta-driven eval-only
+reconstruction (no architecture flags needed).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "fidelity_check.py")
+
+pytestmark = pytest.mark.slow  # two subprocesses, each compiles train+paint
+
+
+def run_fidelity(args, tmp):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, SCRIPT, *args], env=env, cwd=str(tmp),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]), out.stderr
+
+
+SMOKE = ["--tile", "32", "--redshifts", "0,1", "--n-stack", "2",
+         "--batch", "4", "--scan", "5", "--seed", "3"]
+
+
+def test_train_report_and_eval_only_contract(tmp_path):
+    wd = str(tmp_path / "wd")
+    rep, err = run_fidelity(
+        SMOKE + ["--n-samples", "40", "--workdir", wd], tmp_path)
+    # dual-dtype report contract (gate defaults to --gate-dtype both and
+    # the CVAE trainer computes in bf16, so both legs must be present)
+    assert rep["gate_dtype"] == "both"
+    assert set(rep["per_z_by_dtype"]) == {"f32", "model"}
+    for d in rep["per_z_by_dtype"].values():
+        assert set(d) == {"0", "1"}
+    # headline per_z is the portable-f32 leg
+    assert rep["per_z"] == rep["per_z_by_dtype"]["f32"]
+    # pass_5pct is the worst over dtypes and redshifts
+    worst = max(v[k] for d in rep["per_z_by_dtype"].values()
+                for v in d.values() for k in ("auto", "cross"))
+    assert rep["pass_5pct"] == (worst < 0.05)
+    ckpt = os.path.join(wd, "fidelity_model_cvae")
+    assert os.path.exists(ckpt + "_state.msgpack")
+
+    # eval-only rebuilds the model from the checkpoint meta (no arch flags)
+    # and must reproduce the same f32 per-z numbers on the same stacks
+    rep2, err2 = run_fidelity(
+        SMOKE + ["--n-samples", "40", "--workdir", wd, "--eval-only"],
+        tmp_path)
+    assert rep2["n_samples"] == 0
+    for z in ("0", "1"):
+        np.testing.assert_allclose(
+            rep2["per_z"][z]["auto"], rep["per_z"][z]["auto"], atol=2e-3)
+    assert "restored checkpoint" in err2
