@@ -27,7 +27,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def backend_unreachable(timeout_s: float = 180.0):
+    """True when auto backend init would hang this process.
+
+    The session TPU (axon tunnel) has been observed to wedge for hours with
+    TCP still connecting — `jax.devices()` then blocks forever, and a bench
+    that hangs is worse than one that reports the outage. Probe in a
+    subprocess (which inherits the same sitecustomize/auto-registration)
+    with a hard timeout. Only skipped for an explicit CPU override
+    (JAX_PLATFORMS=cpu) — note TPU sessions ship with JAX_PLATFORMS=axon
+    already set, so "set" does not mean "safe".
+    """
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=timeout_s, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return False
+    except subprocess.TimeoutExpired:
+        return True
+    except subprocess.CalledProcessError:
+        return True
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and backend_unreachable():
+        log("bench: TPU backend unreachable (tunnel wedged?) — emitting "
+            "error record instead of hanging")
+        print(json.dumps({
+            "metric": "cvae_train_samples_per_sec", "value": 0.0,
+            "unit": "samples/s", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (device init timed out); "
+                     "not a performance regression — see ROUNDLOG.md"}))
+        return
+
     import jax
 
     from baryon_painter_tpu.utils.platform import respect_env_platform
