@@ -148,16 +148,30 @@ def make_report(model_dir):
                   "synthetic validation stacks, re-evaluable with "
                   "`scripts/fidelity_check.py --eval-only --checkpoint "
                   f"{os.path.relpath(model_dir, REPO)}/model` "
-                  "(see trained_models/README.md).", "",
-                  "| z | auto | cross | pass |", "|---|---|---|---|"]
+                  "(see trained_models/README.md).", ""]
+        by_dtype = fid.get("per_z_by_dtype") or {"": fid.get("per_z", {})}
         per_z = fid.get("per_z", {})
+        hdr = " | ".join(f"auto {l}".strip() + " | " + f"cross {l}".strip()
+                         for l in by_dtype)
+        lines += [f"| z | {hdr} | pass |",
+                  "|---|" + "---|" * (2 * len(by_dtype)) + "---|"]
         for z in sorted(per_z, key=float):
-            a, c = per_z[z]["auto"], per_z[z]["cross"]
-            ok = "yes" if max(a, c) <= 0.05 else "NO"
-            lines.append(f"| {z} | {a:.3f} | {c:.3f} | {ok} |")
+            cells = []
+            worst = 0.0
+            for label in by_dtype:
+                a, c = by_dtype[label][z]["auto"], by_dtype[label][z]["cross"]
+                cells += [f"{a:.3f}", f"{c:.3f}"]
+                worst = max(worst, a, c)
+            ok = "yes" if worst <= 0.05 else "NO"
+            lines.append(f"| {z} | " + " | ".join(cells) + f" | {ok} |")
         verdict = "PASS" if fid.get("pass_5pct") else "FAIL"
+        worst_all = max((max(v["auto"], v["cross"])
+                         for d in by_dtype.values() for v in d.values()),
+                        default=float("nan"))
+        dtype_note = (" across paint dtypes "
+                      + "/".join(by_dtype) if len(by_dtype) > 1 else "")
         lines += ["", f"Gate verdict: **{verdict}** "
-                  f"(worst bin {max((max(v['auto'], v['cross']) for v in per_z.values()), default=float('nan')):.3f}).", ""]
+                  f"(worst per-z value {worst_all:.3f}{dtype_note}).", ""]
 
     # Loss curves (loss_plots.ipynb counterpart)
     stats_files = sorted(

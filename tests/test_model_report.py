@@ -46,6 +46,31 @@ def test_report_from_synthetic_artifacts(tmp_path):
     assert (d / "loss_curves.png").exists()
 
 
+def test_report_renders_dual_dtype_gate(tmp_path):
+    """Reports produced under --gate-dtype both carry per_z_by_dtype; the
+    table must show both paint-dtype legs and pass on the worst of them."""
+    mod = _load_module()
+    d = tmp_path / "CVAE" / "dual"
+    d.mkdir(parents=True)
+    (d / "model_meta.json").write_text(json.dumps({
+        "model_kind": "cvae", "tile_size": 64, "tile_L": 100.0,
+        "input_field": "dm", "label_fields": ["pressure"],
+        "model_architecture": {"dim_z": [1, 4, 4]}}))
+    (d / "fidelity_report.json").write_text(json.dumps({
+        "pass_5pct": False, "gate_dtype": "both",
+        "per_z": {"0": {"auto": 0.01, "cross": 0.02}},
+        "per_z_by_dtype": {
+            "f32": {"0": {"auto": 0.01, "cross": 0.02}},
+            "model": {"0": {"auto": 0.08, "cross": 0.02}}}}))
+    mod.make_report(str(d))
+    report = (d / "report.md").read_text()
+    assert "| z | auto f32 | cross f32 | auto model | cross model | pass |" \
+        in report
+    # worst over dtypes (model-leg auto 0.08) fails the row
+    assert "| 0 | 0.010 | 0.020 | 0.080 | 0.020 | NO |" in report
+    assert "worst per-z value 0.080 across paint dtypes f32/model" in report
+
+
 def test_report_tolerates_header_only_stats(tmp_path):
     """A run that crashed before its first stats flush leaves a header-only
     file; the loss panel must be skipped, not crash on an empty column."""
