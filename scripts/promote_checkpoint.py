@@ -86,6 +86,10 @@ def main(argv=None):
     p.add_argument("--skip-eval", action="store_true",
                    help="copy artifacts without the re-evaluation pass "
                         "(no fidelity_report.json provenance)")
+    p.add_argument("--skip-goldens", action="store_true",
+                   help="do not regenerate tests/goldens/paint_goldens.npz "
+                        "(it pins the committed checkpoints' painted "
+                        "output, so promotion normally refreshes it)")
     p.add_argument("--checkpoint", choices=["auto", "base", "best"],
                    default="auto",
                    help="which workdir checkpoint to promote: the final "
@@ -172,6 +176,24 @@ def main(argv=None):
     subprocess.run([sys.executable,
                     os.path.join(SCRIPTS, "make_model_report.py"),
                     args.dest], check=True)
+
+    # the golden paint pin (tests/test_paint_goldens.py) freezes the
+    # committed checkpoints' products; a promotion changes them, so refresh
+    # the goldens or the pin test fails on the next run
+    repo_models = os.path.realpath(
+        os.path.join(os.path.dirname(SCRIPTS), "trained_models"))
+    in_repo = os.path.realpath(args.dest).startswith(repo_models + os.sep)
+    if not args.skip_goldens and in_repo:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable,
+                            os.path.join(SCRIPTS, "make_paint_goldens.py")],
+                           env=env, check=False)
+        if r.returncode:
+            print("warning: golden regeneration failed — run "
+                  "scripts/make_paint_goldens.py manually or the pin test "
+                  "will fail", file=sys.stderr, flush=True)
+        else:
+            copied.append("tests/goldens/paint_goldens.npz (refreshed)")
     for generated in ("report.md", "loss_curves.png"):
         if os.path.exists(os.path.join(args.dest, generated)):
             copied.append(generated)
