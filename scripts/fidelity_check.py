@@ -86,6 +86,13 @@ def main():
                    help="weight of the spectral auxiliary loss "
                         "(trainer.TrainConfig.pk_loss_weight); the ELBO is "
                         "O(1e5)/sample so useful values are ~1e4-1e6")
+    p.add_argument("--train-dtype", default="bf16",
+                   choices=["bf16", "f32"],
+                   help="conv compute dtype of the training model (bf16 is "
+                        "the TPU provenance; f32 is ~100x faster on CPU, "
+                        "where XLA lowers bf16 convs off the oneDNN path — "
+                        "use it for CPU fine-tunes and re-check both paint "
+                        "dtypes with --eval-only afterwards)")
     p.add_argument("--gate-dtype", default="both",
                    choices=["model", "f32", "both"],
                    help="conv compute dtype(s) the P(k) gate paints with: "
@@ -201,8 +208,9 @@ def main():
                 fiducial_cvae_architecture(tile_size=args.tile,
                                            n_res_blocks=4,
                                            upsample=args.upsample))
+        train_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
         trainer = CVAETrainer(
-            CVAE(arch, dtype=jnp.bfloat16), train_ds,
+            CVAE(arch, dtype=train_dtype), train_ds,
             config=TrainConfig(seed=args.seed,
                                pk_loss_weight=args.pk_loss_weight,
                                pk_loss_per_z=args.pk_loss_weight > 0),
