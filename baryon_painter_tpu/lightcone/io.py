@@ -66,3 +66,26 @@ def massplane_filename(massplane_path: str, z: float, los: int,
     projection = ["xy", "xz", "yz"][shell_index % 3]
     return os.path.join(massplane_path,
                         f"{z:.3f}proj_half_finer_{projection}.dat_LOS{los}")
+
+
+def load_kappa_map(path: str, n_pixel: int = N_PIXEL_DELTA,
+                   decimate: int = 1) -> np.ndarray:
+    """SLICS weak-lensing convergence map (precomputed data product).
+
+    Format per the reference's create_lightcones.ipynb: raw float32
+    stream, 7745^2 values in FORTRAN order, scaled x64; optionally
+    decimated (the notebook uses [::5, ::5]). Used to cross-correlate a
+    painted Compton-y map with kappa via ``angular_power.pseudo_cl_2d(y,
+    kappa, ...)`` — the y x kappa cross-spectrum is the headline statistic
+    of the reference paper (arXiv:1903.12173).
+    """
+    k = np.fromfile(path, dtype=np.float32).reshape(n_pixel, -1, order="F")
+    if decimate > 1:
+        k = k[::decimate, ::decimate]
+    return k * 64.0
+
+
+def kappa_filename(kappa_path: str, los: int, survey: str = "KiDS450",
+                   tomo: int = 0) -> str:
+    """create_lightcones.ipynb: kappa_<survey>_tomo<i>.dat_LOS<los>."""
+    return os.path.join(kappa_path, f"kappa_{survey}_tomo{tomo}.dat_LOS{los}")

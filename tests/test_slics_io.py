@@ -89,3 +89,33 @@ def test_device_prep_matches_host_loader():
         lambda r: r.T.astype(jnp.float32) * SLICS_NORM)(jnp.asarray(raw_m)))
     np.testing.assert_allclose(dev, load_massplane(
         massplane_filename(FIX, 0.042, 9, 0), n_pixel=6), rtol=1e-6)
+
+
+def test_kappa_map_golden_layout():
+    """kappa maps are f32 streams in FORTRAN order scaled x64
+    (create_lightcones.ipynb: reshape(7745, -1, order="F"); kappa_map *= 64)
+    — the y x kappa cross-spectrum input."""
+    from baryon_painter_tpu.lightcone.io import kappa_filename, load_kappa_map
+    path = kappa_filename(FIX, 9)
+    assert os.path.basename(path) == "kappa_KiDS450_tomo0.dat_LOS9"
+    k = load_kappa_map(path, n_pixel=5)
+    np.testing.assert_allclose(k, _expected(5) * 64.0)
+    # decimation matches the notebook's [::d, ::d]
+    k2 = load_kappa_map(path, n_pixel=5, decimate=2)
+    np.testing.assert_allclose(k2, (_expected(5) * 64.0)[::2, ::2])
+
+
+def test_y_kappa_cross_cl_runs():
+    """pseudo_cl_2d(y, kappa) — the reference paper's headline statistic —
+    accepts the loaded kappa map shape end-to-end."""
+    import jax.numpy as jnp
+
+    from baryon_painter_tpu.angular_power import pseudo_cl_2d
+    from baryon_painter_tpu.lightcone.io import kappa_filename, load_kappa_map
+    k = load_kappa_map(kappa_filename(FIX, 9), n_pixel=5)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(k.shape).astype(np.float32)
+    cl, ell, _, n_mode = pseudo_cl_2d(jnp.asarray(y), jnp.asarray(k),
+                                      theta_deg=10.0, n_l_bin=3)
+    assert np.asarray(cl).shape == (3,)
+    assert np.isfinite(np.asarray(cl)).all()
