@@ -54,6 +54,15 @@ def main():
     parser.add_argument("--bf16-transfer", action="store_true",
                         help="ship SLICS planes to the device as bfloat16 "
                              "(halves H2D bytes; promoted to f32 on device)")
+    parser.add_argument("--kappa-path", default=None,
+                        help="directory of SLICS convergence maps "
+                             "(kappa_<survey>_tomo<i>.dat_LOS<los>); when "
+                             "given, also compute the y x kappa pseudo-Cl "
+                             "cross-spectrum (the reference paper's headline "
+                             "statistic, create_lightcones.ipynb) and save "
+                             "it to <output-file>_y_x_kappa.npz")
+    parser.add_argument("--kappa-survey", default="KiDS450")
+    parser.add_argument("--kappa-tomo", default=0, type=int)
     args = parser.parse_args()
 
     from baryon_painter_tpu.cosmology import SLICS_COSMOLOGY
@@ -132,6 +141,27 @@ def main():
     if args.output_file_planes is not None:
         with open(args.output_file_planes, "wb") as f:
             pickle.dump(painted_planes, f)
+
+    if args.kappa_path is not None:
+        import jax.numpy as jnp
+
+        from baryon_painter_tpu.angular_power import pseudo_cl_2d
+        from baryon_painter_tpu.lightcone.io import (kappa_filename,
+                                                     load_kappa_map)
+        from baryon_painter_tpu.ops.resample import zoom as bspline_zoom
+        kappa = load_kappa_map(kappa_filename(
+            args.kappa_path, LOS, args.kappa_survey, args.kappa_tomo))
+        if kappa.shape[0] != res:
+            # bring kappa to the y-map grid (notebook-style decimation is a
+            # special case; B-spline order 1 handles any ratio)
+            kappa = np.asarray(bspline_zoom(
+                jnp.asarray(kappa), res / kappa.shape[0], order=1))
+        cl, ell, cl_var, n_mode = pseudo_cl_2d(
+            jnp.asarray(y_map), jnp.asarray(kappa), theta_deg=10.0)
+        out = args.output_file + "_y_x_kappa.npz"
+        np.savez(out, cl=np.asarray(cl), ell=np.asarray(ell),
+                 cl_var=np.asarray(cl_var), n_mode=np.asarray(n_mode))
+        print(f"y x kappa cross-Cl saved to {out}")
 
 
 if __name__ == "__main__":

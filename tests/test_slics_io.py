@@ -112,7 +112,11 @@ def test_y_kappa_cross_cl_runs():
 
     from baryon_painter_tpu.angular_power import pseudo_cl_2d
     from baryon_painter_tpu.lightcone.io import kappa_filename, load_kappa_map
+    from baryon_painter_tpu.ops.resample import zoom as bspline_zoom
     k = load_kappa_map(kappa_filename(FIX, 9), n_pixel=5)
+    # the CLI zooms kappa to the y-map grid when resolutions differ
+    k = np.asarray(bspline_zoom(jnp.asarray(k), 4 / 5, order=1))
+    assert k.shape == (4, 4)
     rng = np.random.default_rng(0)
     y = rng.standard_normal(k.shape).astype(np.float32)
     cl, ell, _, n_mode = pseudo_cl_2d(jnp.asarray(y), jnp.asarray(k),
