@@ -19,7 +19,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def pk_errors(painter, ds, n_sample=48, seed=0, z=None):
+def pk_errors(painter, ds, n_sample=48, seed=0, z=None, matmul_precision=None):
+    """P(k) fractional errors of painted-vs-truth tiles.
+
+    ``matmul_precision``: when set (e.g. "highest"), paint under
+    ``jax.default_matmul_precision`` — on TPU the default lowers even
+    float32 convs to single-pass bfloat16 MXU products, so a "f32" gate
+    leg without this is bf16 arithmetic in disguise (measured: a
+    bf16-selected checkpoint scored 0.046 on the default-precision
+    "f32" leg but 0.10 in genuine f32). The context is part of JAX's
+    trace context, so jitted paint graphs specialize correctly per leg.
+    """
+    import contextlib
+
     import jax
     from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
 
@@ -28,8 +40,11 @@ def pk_errors(painter, ds, n_sample=48, seed=0, z=None):
     batch = ds.get_raw_batch(idx)
     truth = batch["labels"][0]
     dm = batch["input"]
-    painted = np.asarray(painter.paint_batch(
-        batch["input"], batch["z"], rng=jax.random.PRNGKey(seed)))
+    ctx = (jax.default_matmul_precision(matmul_precision)
+           if matmul_precision else contextlib.nullcontext())
+    with ctx:
+        painted = np.asarray(painter.paint_batch(
+            batch["input"], batch["z"], rng=jax.random.PRNGKey(seed)))
     pk_t, k, _, nm = pseudo_pofk_2d(truth, L=ds.tile_L, n_k_bin=12)
     pk_p, _, _, _ = pseudo_pofk_2d(painted, L=ds.tile_L, n_k_bin=12)
     occ = np.asarray(nm) > 0
@@ -252,23 +267,30 @@ def main():
             f"checkpoint {ckpt_base} exists; pass --resume to continue from "
             f"it or --eval-only to score it (refusing to overwrite with a "
             f"fresh-seed run)")
-    # the gate paints under these conv compute dtypes; "keep" = the
-    # training model's dtype (bf16), None = float32 input dtype. f32 leads
-    # so it is the headline (portable arithmetic); pass/selection use the
-    # worst across all of them.
-    gate_dtypes = {"model": [("model", "keep")],
-                   "f32": [("f32", None)],
-                   "both": [("f32", None), ("model", "keep")]}[args.gate_dtype]
+    # the gate paints under these (conv compute dtype, matmul precision)
+    # legs; "keep" = the training model's dtype (bf16), None = float32
+    # input dtype. The f32 leg forces matmul precision "highest" — on TPU
+    # the default lowers f32 convs to single-pass bf16 MXU products, so
+    # without it the "portable f32" leg is bf16 arithmetic in disguise.
+    # f32 leads so it is the headline; pass/selection use the worst leg.
+    gate_dtypes = {"model": [("model", "keep", None)],
+                   "f32": [("f32", None, "highest")],
+                   "both": [("f32", None, "highest"),
+                            ("model", "keep", None)]}[args.gate_dtype]
     train_dtype = (trainer.model.dtype if args.model == "cvae"
                    else trainer.generator.dtype)
     if len(gate_dtypes) > 1 and train_dtype in (None, jnp.float32):
-        # the model already computes in f32 — a second "model" leg would
-        # paint byte-identical tiles and report a fake dtype distinction
-        gate_dtypes = [("f32", None)]
+        # the model already computes in f32 input dtype — but the two legs
+        # still differ in arithmetic (default vs highest matmul precision),
+        # so keep both only when they would actually paint differently
+        # (i.e. on backends where precision changes the lowering: TPU).
+        if jax.devices()[0].platform == "cpu":
+            gate_dtypes = [("f32", None, "highest")]
     painter = make_painter(dtype=gate_dtypes[0][1])
 
     # warm the paint graph + baseline errors with untrained weights
-    auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed)
+    auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed,
+                                     matmul_precision=gate_dtypes[0][2])
     print(f"untrained: auto={auto0:.3f} cross={cross0:.3f} {diag0}",
           file=sys.stderr, flush=True)
 
@@ -348,10 +370,11 @@ def main():
         criterion. Scoring the worst dtype keeps the selected parameters in
         a rounding-robust minimum instead of one platform's arithmetic."""
         worst = 0.0
-        for _, dt in gate_dtypes:
+        for _, dt, prec in gate_dtypes:
             p = make_painter(dtype=dt)
             for z in val_ds.redshifts:
-                az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
+                az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z,
+                                      matmul_precision=prec)
                 worst = max(worst, az, cz)
         return worst
 
@@ -430,15 +453,18 @@ def main():
             filename_template=os.path.join(
                 args.workdir, f"{args.model}_{{plot_type}}.png"))
         print(f"figures saved in {args.workdir}", file=sys.stderr, flush=True)
-    auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed)
+    auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed,
+                                     matmul_precision=gate_dtypes[0][2])
     # the gate is per-redshift (validation_plotting.py:76-158 panels per z),
     # and under --gate-dtype both it must hold for every compute dtype
     per_z_by_dtype = {}
-    for label, dtp in gate_dtypes:
-        p = painter if dtp == gate_dtypes[0][1] else make_painter(dtype=dtp)
+    for label, dtp, prec in gate_dtypes:
+        p = (painter if (dtp, prec) == gate_dtypes[0][1:]
+             else make_painter(dtype=dtp))
         d = {}
         for z in val_ds.redshifts:
-            az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z)
+            az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z,
+                                  matmul_precision=prec)
             d[f"{z:g}"] = {"auto": round(az, 4), "cross": round(cz, 4)}
         per_z_by_dtype[label] = d
     per_z = per_z_by_dtype[gate_dtypes[0][0]]

@@ -109,7 +109,7 @@ def main():
                         "other segment names are CVAE-internal)")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--batch", type=int, default=24)
-    p.add_argument("--out", default="docs/roofline_r03.json")
+    p.add_argument("--out", default="docs/roofline_r3.json")
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--segments", default=None,
                    help="comma-separated subset to measure: gather,prepare,"
