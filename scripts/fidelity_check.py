@@ -118,6 +118,12 @@ def main():
                         "overfit the gate to one platform's rounding "
                         "(observed: a bf16-TPU-selected checkpoint at 0.026 "
                         "scored 0.44 under CPU bf16 emulation)")
+    p.add_argument("--z-boost", default=None,
+                   help="comma-separated z:shares batch weighting for the "
+                        "spectral fine-tune, e.g. '0:2' samples redshift 0 "
+                        "at twice the rate of every other z (gate selection "
+                        "still scores all redshifts). Batch size must divide "
+                        "by the total share count.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
@@ -306,15 +312,31 @@ def main():
     # with conflicting per-step gradients (both observed).
     zs = list(train_ds.redshifts)
     stratify = args.pk_loss_weight > 0
-    if stratify and args.batch % len(zs):
-        raise SystemExit(f"--batch {args.batch} must be divisible by "
-                         f"n_z={len(zs)} for the per-z spectral loss")
+    # --z-boost "0:2,0.5:1" gives redshift 0 two batch shares per share of
+    # every other z: more tiles -> a less noisy per-z P(k) estimate and a
+    # stronger gradient for the redshift that sits on the gate floor, while
+    # gate selection still scores ALL redshifts (so the boosted fine-tune
+    # cannot silently regress the others).
+    shares = {z: 1 for z in zs}
+    if args.z_boost:
+        for part in args.z_boost.split(","):
+            zstr, w = part.split(":")
+            zval = float(zstr)
+            if zval not in shares:
+                raise SystemExit(f"--z-boost: z={zstr} not in --redshifts")
+            shares[zval] = int(w)
+    n_shares = sum(shares.values())
+    if stratify and args.batch % n_shares:
+        raise SystemExit(f"--batch {args.batch} must be divisible by the "
+                         f"total z shares ({n_shares}) for the per-z "
+                         f"spectral loss")
 
     def step_indices(j):
         if not stratify:
             return train_ds.sample_indices(rng, args.batch)
-        per = args.batch // len(zs)
-        return np.concatenate([train_ds.sample_indices(rng, per, z=z)
+        per = args.batch // n_shares
+        return np.concatenate([train_ds.sample_indices(rng, per * shares[z],
+                                                       z=z)
                                for z in zs])
 
     if args.eval_only:
