@@ -84,6 +84,12 @@ class CGANTrainConfig:
     pk_loss_weight: float = 0.0
     pk_loss_n_bins: int = 12
     pk_loss_per_z: bool = False
+    # Weight of the adversarial BCE in the G loss. 0 freezes the
+    # adversarial game entirely (no D update, no adv gradient): a
+    # spectral/perceptual calibration mode for fine-tuning a trained
+    # generator, where a live discriminator would keep pulling G toward
+    # hallucinated high-k power the P(k) objective must then undo.
+    adversarial_weight: float = 1.0
 
 
 class CGANTrainer:
@@ -198,6 +204,8 @@ class CGANTrainer:
         fake_sg = jax.lax.stop_gradient(fake)
 
         # ---- discriminator update ------------------------------------- #
+        adv_on = self.config.adversarial_weight > 0  # static at trace time
+
         def d_loss_fn(d_params):
             p_real, d_mut = self.discriminator.apply(
                 {"params": d_params, "batch_stats": state.d_stats},
@@ -210,24 +218,34 @@ class CGANTrainer:
             return loss, (d_mut["batch_stats"], jnp.mean(p_real),
                           jnp.mean(p_fake))
 
-        (d_loss, (d_stats, p_real_m, p_fake_m)), d_grads = \
-            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
-        d_dir, d_opt = self.optimizer.update(d_grads, state.d_opt,
-                                             state.d_params)
-        d_params = optax.apply_updates(state.d_params,
-                                       jax.tree.map(lambda u: lr * u, d_dir))
+        if adv_on:
+            (d_loss, (d_stats, p_real_m, p_fake_m)), d_grads = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            d_dir, d_opt = self.optimizer.update(d_grads, state.d_opt,
+                                                 state.d_params)
+            d_params = optax.apply_updates(state.d_params,
+                                           jax.tree.map(lambda u: lr * u,
+                                                        d_dir))
+        else:
+            d_loss = p_real_m = p_fake_m = jnp.zeros(())
+            d_params, d_stats, d_opt = (state.d_params, state.d_stats,
+                                        state.d_opt)
 
         # ---- generator update (vs the updated discriminator) ----------- #
         def g_loss_fn(g_params):
             fake_g, _ = self.generator.apply(
                 {"params": g_params, "batch_stats": state.g_stats},
                 y, z, train=True, mutable=["batch_stats"])
-            p_fake = self.discriminator.apply(
-                {"params": d_params, "batch_stats": d_stats},
-                y, z, fake_g, train=False)
-            adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
+            if adv_on:
+                p_fake = self.discriminator.apply(
+                    {"params": d_params, "batch_stats": d_stats},
+                    y, z, fake_g, train=False)
+                adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
+            else:
+                adv = jnp.zeros(())
             perc = self._perc(fake_g, x, sample_weight)
-            loss = adv + self.config.lambda_perceptual * perc
+            loss = (self.config.adversarial_weight * adv
+                    + self.config.lambda_perceptual * perc)
             pk = jnp.zeros(())
             if self.config.pk_loss_weight > 0:
                 from baryon_painter_tpu.train.spectral import pk_fidelity_loss

@@ -118,6 +118,12 @@ def main():
                         "overfit the gate to one platform's rounding "
                         "(observed: a bf16-TPU-selected checkpoint at 0.026 "
                         "scored 0.44 under CPU bf16 emulation)")
+    p.add_argument("--adv-weight", type=float, default=1.0,
+                   help="CGAN only: weight of the adversarial BCE in the G "
+                        "loss. 0 freezes the discriminator and adversarial "
+                        "gradient entirely — spectral/perceptual calibration "
+                        "of a trained generator (a live D keeps injecting "
+                        "the high-k power the P(k) objective removes)")
     p.add_argument("--z-boost", default=None,
                    help="comma-separated z:shares batch weighting for the "
                         "spectral fine-tune, e.g. '0:2' samples redshift 0 "
@@ -255,7 +261,8 @@ def main():
                               config=CGANTrainConfig(
                                   seed=args.seed, batch_size=args.batch,
                                   pk_loss_weight=args.pk_loss_weight,
-                                  pk_loss_per_z=args.pk_loss_weight > 0),
+                                  pk_loss_per_z=args.pk_loss_weight > 0,
+                                  adversarial_weight=args.adv_weight),
                               device_data=True)
         make_painter = lambda dtype="keep": CGANPainter.from_trainer(
             trainer, dtype=dtype)

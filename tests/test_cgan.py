@@ -85,6 +85,29 @@ def test_gan_step_updates_both_nets(dataset, trainer):
     assert gd > 0 and dd > 0
 
 
+def test_gan_calibration_mode_freezes_discriminator(dataset):
+    """adversarial_weight=0: G still trains (perceptual+spectral), D is
+    bit-frozen — the spectral-calibration fine-tune mode."""
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2,
+                                            pk_loss_weight=1.0,
+                                            adversarial_weight=0.0))
+    g0 = jax.tree.map(np.asarray, tr.state.g_params)
+    d0 = jax.tree.map(np.asarray, tr.state.d_params)
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    assert float(m["loss_G_adv"]) == 0.0 and float(m["loss_D"]) == 0.0
+    assert np.isfinite(float(m["loss_G_perceptual"]))
+    assert np.isfinite(float(m["pk_loss"])) and float(m["pk_loss"]) > 0
+    gd = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_params, g0)))
+    dd = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.d_params, d0)))
+    assert gd > 0 and dd == 0.0
+
+
 def test_gan_checkpoint_and_painter(dataset, trainer, tmp_path):
     tr = trainer
     tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
