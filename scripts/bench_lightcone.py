@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 WORKDIR = os.environ.get("BPT_LC_DIR", "/tmp/bpt_lightcone_bench")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 N_SHELLS = int(os.environ.get("BPT_LC_SHELLS", "15"))
 # Machine-readable artifact (VERDICT r2 item 3): per-shell device timings,
 # end-to-end s/LOS, the modeled v5e-8 number with its assumptions, and the
@@ -81,21 +82,34 @@ def main():
     generate_los(WORKDIR, los)
     print(f"LOS files generated/present in {time.time()-t0:.0f}s", flush=True)
 
-    # fiducial 512-tile painter (untrained weights: timing only)
-    stacks = os.path.join(WORKDIR, "stacks")
-    info = make_synthetic_stacks(stacks, n_stack=2, n_grid=1024,
-                                 redshifts=(0.0, 1.0, 2.0), seed=0)
-    ds = BahamasTileDataset(
-        files=load_file_info(info), root_path=stacks, n_tile=2,
-        transforms={"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
-                    "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)})
-    trainer = CVAETrainer(CVAE(fiducial_cvae_architecture(512),
-                               dtype=jax.numpy.bfloat16), ds,
-                          config=TrainConfig(seed=0))
+    # fiducial 512-tile painter. Prefer the committed flagship checkpoint:
+    # timing is identical (same architecture/dtype) but the painted planes
+    # — and therefore the y-map pseudo-Cl panel below — carry real physics
+    # (an untrained decoder paints near-constant tiles, whose assembled
+    # y-map has exactly zero non-DC power and makes the Cl panel vacuous).
     # BPT_LC_FUSED=1: paint through the fused Pallas residual blocks
-    # (models/fuse.py conversion; same painted tiles)
-    painter = CVAEPainter.from_trainer(
-        trainer, fused_inference=os.environ.get("BPT_LC_FUSED") == "1")
+    # (models/fuse.py conversion; same painted tiles).
+    fused = os.environ.get("BPT_LC_FUSED") == "1"
+    flagship = os.path.join(REPO, "trained_models", "CVAE", "fiducial-512",
+                            "model")
+    if os.path.exists(flagship + "_state.msgpack"):
+        painter = CVAEPainter(flagship, fused_inference=fused,
+                              dtype=jax.numpy.bfloat16)
+        painter_src = "trained_models/CVAE/fiducial-512"
+    else:
+        stacks = os.path.join(WORKDIR, "stacks")
+        info = make_synthetic_stacks(stacks, n_stack=2, n_grid=1024,
+                                     redshifts=(0.0, 1.0, 2.0), seed=0)
+        ds = BahamasTileDataset(
+            files=load_file_info(info), root_path=stacks, n_tile=2,
+            transforms={"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
+                        "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)})
+        trainer = CVAETrainer(CVAE(fiducial_cvae_architecture(512),
+                                   dtype=jax.numpy.bfloat16), ds,
+                              config=TrainConfig(seed=0))
+        painter = CVAEPainter.from_trainer(trainer, fused_inference=fused)
+        painter_src = "untrained (timing only)"
+    print(f"painter: {painter_src}", flush=True)
 
     cosmo = SLICS_COSMOLOGY()
     z_arr = np.asarray(Z_SLICS)
@@ -143,7 +157,8 @@ def main():
     # The gate must fail on a degenerate map (all-NaN/inf spectrum): require
     # a populated spectrum — NaN is legitimate only for empty low-l bins.
     n_finite = int(np.count_nonzero(np.isfinite(cl)))
-    cl_ok = (n_finite >= max(1, cl.size // 2)
+    cl_ok = (float(np.nanmax(cl)) > 0  # a constant map has no non-DC power
+             and n_finite >= max(1, cl.size // 2)
              and not np.any(np.isinf(cl))
              and bool(np.all(cl[np.isfinite(cl)] >= 0)))
     print(f"y-map pseudo-Cl: {n_finite}/{cl.size} finite bins, "
@@ -216,6 +231,7 @@ def main():
             "output_resolution": 1549,
             "transfer_dtype": "bfloat16" if transfer_dtype else "float32",
             "fused_paint": os.environ.get("BPT_LC_FUSED") == "1",
+            "painter": painter_src,
             "first_los_s": round(t_first, 1),
             "steady_los_s": round(t_steady, 1),
             "per_shell": per_shell,
