@@ -143,9 +143,17 @@ class RangeCompress:
             return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0) / std + eps) / k,
                              math.log(eps) / k)
         if mode == "shift-log":
-            return jnp.log(x / std + 1) / k
+            # Floor the log argument at eps: B-spline zoom in the lightcone
+            # path (order 3/5, process_SLICS.py:205) overshoots below zero
+            # near sharp features, and x/std + 1 <= 0 would paint the whole
+            # plane NaN through the convs. The reference escapes only
+            # because its real-data std is O(1); with narrow stats the
+            # un-floored formula is a latent NaN source.
+            u = x / std + 1
+            return jnp.log(jnp.where(u > eps, u, eps)) / k
         if mode == "shift-log-2p":
-            return jnp.log(x / std + k[0]) / k[1]
+            u = x / std + k[0]
+            return jnp.log(jnp.where(u > eps, u, eps)) / k[1]
         if mode == "log-tanh":
             return jnp.where(x > 0, jnp.tanh(jnp.log(jnp.where(x > 0, x, 1.0) / std + eps) / k), -1.0)
         if mode == "x/(1+x)":

@@ -30,24 +30,43 @@ Z_SLICS = [0.042, 0.130, 0.221, 0.317, 0.418, 0.525, 0.640, 0.764, 0.897,
            1.041, 1.199, 1.372, 1.562, 1.772, 2.007][:N_SHELLS]
 
 
-def generate_los(base, los=74, seed=0):
+def generate_los(base, los=74, seed=0, scales=None):
+    """Write synthetic SLICS files at real sizes.
+
+    ``scales``: optional per-shell amplitude factors applied to the density
+    values so that the pipeline's prepped planes ((raw+96)*SLICS_NORM, mean
+    1.0 unscaled) land inside the painter's TRAINING dm distribution — an
+    out-of-distribution amplitude paints garbage and makes the y-map Cl
+    panel vacuous. Timing is amplitude-independent. A scale tag file keys
+    regeneration when the scales change."""
     rng = np.random.default_rng(seed)
     for sub in ("delta", "massplanes", "random_shifts"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
+    if scales is None:
+        scales = np.ones(len(Z_SLICS))
+    tag_fn = os.path.join(base, "scale_tag.json")
+    tag = json.dumps([round(float(s), 6) for s in scales])
+    stale = not (os.path.exists(tag_fn) and open(tag_fn).read() == tag)
     np.savetxt(os.path.join(base, "random_shifts", f"random_shift_LOS{los}"),
                rng.uniform(0, 1, size=(len(Z_SLICS), 2)))
     for i, z in enumerate(Z_SLICS):
+        s = float(scales[i])
         if i < 2:  # low-z shells (delta plane < 100 Mpc/h) use massplanes
             fn = os.path.join(base, "massplanes",
                               f"{z:.3f}proj_half_finer_{['xy','xz','yz'][i%3]}.dat_LOS{los}")
-            if not os.path.exists(fn):
-                d = rng.gamma(2.0, 48.0, size=4096 * 3 * 4096 * 3 + 1)
+            if stale or not os.path.exists(fn):
+                d = rng.gamma(2.0, 48.0, size=4096 * 3 * 4096 * 3 + 1) * s
                 d.astype(np.float32).tofile(fn)
         fn = os.path.join(base, "delta", f"{z:.3f}delta.dat_bicubic_LOS{los}")
-        if not os.path.exists(fn):
-            d = rng.gamma(2.0, 48.0, size=7745 * 7745) - 96.0
+        if stale or not os.path.exists(fn):
+            # prep adds +96 then normalises: (raw+96)*NORM has mean 1.0 at
+            # s=1 (gamma(2,48) mean 96, NORM=1/96), so scaling the density
+            # term by s puts the prepped mean at s
+            d = rng.gamma(2.0, 48.0, size=7745 * 7745) * s - 96.0
             d.astype(np.float32).tofile(fn)
         print(f"shell {i} z={z} files ready", flush=True)
+    with open(tag_fn, "w") as f:
+        f.write(tag)
 
 
 def main():
@@ -78,9 +97,6 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     los = 74
-    t0 = time.time()
-    generate_los(WORKDIR, los)
-    print(f"LOS files generated/present in {time.time()-t0:.0f}s", flush=True)
 
     # fiducial 512-tile painter. Prefer the committed flagship checkpoint:
     # timing is identical (same architecture/dtype) but the painted planes
@@ -117,6 +133,17 @@ def main():
     delta_size = d_A * 10 / 180 * np.pi
     z_slice = np.array([cosmo.redshift_of_chi(252.5 / cosmo.h * i)
                         for i in range(len(z_arr))])
+
+    # Synthetic LOS files, scaled so the pipeline's prepped planes match the
+    # painter's training dm amplitude at each shell's paint redshift (the
+    # timing is amplitude-independent; the y-map Cl panel is not).
+    scales = None
+    if hasattr(painter, "stats") and "dm" in getattr(painter, "stats", {}):
+        dm_stats = painter.stats["dm"]
+        scales = np.asarray([float(dm_stats.at_z(z)[0]) for z in z_slice])
+    t0 = time.time()
+    generate_los(WORKDIR, los, scales=scales)
+    print(f"LOS files generated/present in {time.time()-t0:.0f}s", flush=True)
 
     transfer_dtype = (jax.numpy.bfloat16
                       if os.environ.get("BPT_LC_BF16") == "1" else None)

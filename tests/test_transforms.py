@@ -118,6 +118,33 @@ def test_one_over_x_round_trips_bright_pixels(rng):
     np.testing.assert_allclose(rec, x, rtol=5e-3)
 
 
+def test_shift_log_overshoot_stays_finite(rng):
+    """B-spline zoom (order 3/5) overshoots below zero near sharp features
+    (process_SLICS.py:205). shift-log must saturate such pixels at the eps
+    floor instead of painting NaN through the whole conv stack — the
+    lightcone NaN incident of round 3."""
+    stats = make_stats(rng)
+    z = 0.3
+    _, var = numpy_interp_stats(stats, z)
+    std = np.sqrt(var)
+    for mode, k in (("shift-log", 4.0), ("shift-log-2p", (0.01, 4.0))):
+        t = RangeCompress(mode=mode, k=k, eps=1e-4)
+        # one deep overshoot (x/std + shift <= 0), one valid pixel
+        x = np.array([[-5.0 * std, 2.0 * std]], np.float32)
+        y = np.asarray(t.forward(jnp.asarray(x), stats, z))
+        assert np.all(np.isfinite(y)), (mode, y)
+        kk = k if mode == "shift-log" else k[1]
+        np.testing.assert_allclose(y[0, 0], np.log(1e-4) / kk, rtol=1e-5)
+        # the floor must not disturb valid pixels
+        shift = 1.0 if mode == "shift-log" else k[0]
+        np.testing.assert_allclose(y[0, 1], np.log(2.0 + shift) / kk,
+                                   rtol=1e-4)
+        # gradient stays finite through the floor (spectral fine-tune path)
+        g = jax.grad(lambda v: jnp.sum(t.forward(v, stats, z)))(
+            jnp.asarray(x))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_fwd_of_inv_exact(rng):
     """fwd(inv(y)) == y exactly-ish (mirrors test_dataset.py:71-74)."""
     stats = make_stats(rng)
