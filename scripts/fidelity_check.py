@@ -124,6 +124,16 @@ def main():
                         "gradient entirely — spectral/perceptual calibration "
                         "of a trained generator (a live D keeps injecting "
                         "the high-k power the P(k) objective removes)")
+    p.add_argument("--perc-weight", type=float, default=2.5,
+                   help="CGAN only: lambda_perceptual, the L1 pixel-loss "
+                        "weight in the G loss (reference 2.5, "
+                        "trained_models/README.md:130-139). In calibration "
+                        "mode (--adv-weight 0) the L1 term pulls the "
+                        "generator toward a blurred mean prediction whose "
+                        "auto-P(k) loses high-k power faster than a weak "
+                        "spectral term can restore it — lower this (or "
+                        "raise --pk-loss-weight to the CVAE's ~2e4 scale) "
+                        "when fine-tuning without a live discriminator")
     p.add_argument("--z-boost", default=None,
                    help="comma-separated z:shares batch weighting for the "
                         "spectral fine-tune, e.g. '0:2' samples redshift 0 "
@@ -262,7 +272,8 @@ def main():
                                   seed=args.seed, batch_size=args.batch,
                                   pk_loss_weight=args.pk_loss_weight,
                                   pk_loss_per_z=args.pk_loss_weight > 0,
-                                  adversarial_weight=args.adv_weight),
+                                  adversarial_weight=args.adv_weight,
+                                  lambda_perceptual=args.perc_weight),
                               device_data=True)
         make_painter = lambda dtype="keep": CGANPainter.from_trainer(
             trainer, dtype=dtype)
