@@ -450,3 +450,24 @@ def test_mesh_sharded_cgan_applies_z_weights(tmp_path):
     m = tr.step_scan(idx, lr=5e-5)
     assert np.isfinite(float(np.asarray(m["loss_D"])[-1]))
     assert np.isfinite(float(np.asarray(m["loss_G_adv"])[-1]))
+
+
+def test_cgan_paints_through_lightcone_pipeline(trainer):
+    """The fully-convolutional generator must paint SLICS tiles at a
+    resolution different from its training tiles through the production
+    pipeline (create_lightcone.py --model cgan paints 512^2 tiles with the
+    256^2-trained checkpoint; here 48 vs the fixture's 32)."""
+    from baryon_painter_tpu.lightcone.pipeline import paint_plane
+    p = CGANPainter.from_trainer(trainer)
+    rng = np.random.default_rng(3)
+    n_tile = 48
+    plane_px = 53  # forces >1 overlapping tile and a non-integer zoom
+    plane = jnp.asarray(
+        rng.gamma(2.0, 0.5, size=(plane_px, plane_px)).astype(np.float32))
+    out = np.asarray(paint_plane(
+        p, plane, z_slice=0.5, tile_size=100.0,
+        delta_size=plane_px / n_tile * 100.0, n_pixel_tile=n_tile,
+        min_tile_overlap=0.2, paint_batch_size=2))
+    assert out.shape == (plane_px, plane_px)
+    assert np.all(np.isfinite(out))
+    assert out.std() > 0  # painted structure, not a constant fill
