@@ -148,12 +148,16 @@ class RangeCompress:
             # near sharp features, and x/std + 1 <= 0 would paint the whole
             # plane NaN through the convs. The reference escapes only
             # because its real-data std is O(1); with narrow stats the
-            # un-floored formula is a latent NaN source.
-            u = x / std + 1
-            return jnp.log(jnp.where(u > eps, u, eps)) / k
+            # un-floored formula is a latent NaN source. jnp.maximum keeps
+            # NaN inputs NaN (corrupt reads must still fail loudly) and its
+            # zero subgradient below the floor avoids log's NaN gradient.
+            return jnp.log(jnp.maximum(x / std + 1, eps)) / k
         if mode == "shift-log-2p":
-            u = x / std + k[0]
-            return jnp.log(jnp.where(u > eps, u, eps)) / k[1]
+            # same overshoot floor, capped at the mode's own shift k[0] so a
+            # legitimate zero pixel (u == k[0]) is never re-mapped when
+            # k[0] < eps
+            return (jnp.log(jnp.maximum(x / std + k[0], min(eps, k[0])))
+                    / k[1])
         if mode == "log-tanh":
             return jnp.where(x > 0, jnp.tanh(jnp.log(jnp.where(x > 0, x, 1.0) / std + eps) / k), -1.0)
         if mode == "x/(1+x)":

@@ -47,6 +47,9 @@ def generate_los(base, los=74, seed=0, scales=None):
     tag_fn = os.path.join(base, "scale_tag.json")
     tag = json.dumps([round(float(s), 6) for s in scales])
     stale = not (os.path.exists(tag_fn) and open(tag_fn).read() == tag)
+    if stale and os.path.exists(tag_fn):
+        os.remove(tag_fn)  # a crash mid-regen must not leave a valid tag
+                           # over mixed-amplitude files
     np.savetxt(os.path.join(base, "random_shifts", f"random_shift_LOS{los}"),
                rng.uniform(0, 1, size=(len(Z_SLICS), 2)))
     for i, z in enumerate(Z_SLICS):
@@ -138,7 +141,7 @@ def main():
     # painter's training dm amplitude at each shell's paint redshift (the
     # timing is amplitude-independent; the y-map Cl panel is not).
     scales = None
-    if hasattr(painter, "stats") and "dm" in getattr(painter, "stats", {}):
+    if "dm" in getattr(painter, "stats", {}):
         dm_stats = painter.stats["dm"]
         scales = np.asarray([float(dm_stats.at_z(z)[0]) for z in z_slice])
     t0 = time.time()
@@ -242,7 +245,9 @@ def main():
     per_shell_io_v5e8 = plane_bytes / 2e9 + plane_bytes / 10e9  # NVMe + PCIe
     modeled = sum(max(per_shell_io_v5e8, (t_compute / n_hi) / 8)
                   for _ in range(n_hi)) + 2.0  # +2s massplane shells / misc
-    print(f"budget: measured per-shell compute {t_compute / n_hi:.2f}s "
+    per_shell_s = (f"measured per-shell compute {t_compute / n_hi:.2f}s"
+                   if n_hi else "no delta shells painted (all massplanes)")
+    print(f"budget: {per_shell_s} "
           f"(1 chip, incl. per-call dispatch over the tunnel); "
           f"tunnel H2D {t_h2d_here:.2f}s/plane", flush=True)
     print(f"modeled v5e-8 LOS (local IO, 8-way sharded paint): "

@@ -143,6 +143,14 @@ def test_shift_log_overshoot_stays_finite(rng):
         g = jax.grad(lambda v: jnp.sum(t.forward(v, stats, z)))(
             jnp.asarray(x))
         assert np.all(np.isfinite(np.asarray(g)))
+        # the floor must NOT mask NaN input (corrupt reads fail loudly)
+        y_nan = np.asarray(t.forward(jnp.asarray([[np.nan]]), stats, z))
+        assert np.isnan(y_nan).all()
+    # 2p with a shift smaller than eps: a legitimate zero pixel keeps the
+    # reference encoding log(k0)/k1 (the floor caps at min(eps, k0))
+    t2p = RangeCompress(mode="shift-log-2p", k=(1e-5, 4.0), eps=1e-3)
+    y0 = np.asarray(t2p.forward(jnp.zeros((1, 1)), stats, z))
+    np.testing.assert_allclose(y0[0, 0], np.log(1e-5) / 4.0, rtol=1e-4)
 
 
 def test_fwd_of_inv_exact(rng):
