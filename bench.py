@@ -170,7 +170,7 @@ def main():
         "metric": "cvae_train_samples_per_sec",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / 14.0, 2),
+        "vs_baseline": round(samples_per_sec / 14.0, 3),
         "flops_per_step": (None if np.isnan(flops_per_step)
                            else round(flops_per_step / 1e9, 2) * 1e9),
         "mfu": None if np.isnan(mfu) else round(mfu, 4),
