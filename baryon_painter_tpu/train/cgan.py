@@ -197,14 +197,24 @@ class CGANTrainer:
                          rng, lr, sample_weight=None):
         x, y = self._prepare(raw_input, raw_label, z)
 
-        # generator forward (updates G batch stats once per step)
-        fake, g_mut = self.generator.apply(
-            {"params": state.g_params, "batch_stats": state.g_stats},
-            y, z, train=True, mutable=["batch_stats"])
-        fake_sg = jax.lax.stop_gradient(fake)
+        adv_on = self.config.adversarial_weight > 0  # static at trace time
+
+        # generator forward (updates G batch stats once per step). In
+        # calibration mode (adversarial_weight == 0) the generator is NOT
+        # run in train mode and its batch stats are NOT updated: every loss
+        # term must flow through the exact eval-mode paint path, otherwise
+        # the BN running stats drift behind the optimizer's back and the
+        # L1 gradient optimizes a (batch-stats) network the gate never
+        # paints with — observed as instant 0.13 -> ~1.0 gate divergence.
+        if adv_on:
+            fake, g_mut = self.generator.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                y, z, train=True, mutable=["batch_stats"])
+            fake_sg = jax.lax.stop_gradient(fake)
+        else:
+            g_mut = {"batch_stats": state.g_stats}
 
         # ---- discriminator update ------------------------------------- #
-        adv_on = self.config.adversarial_weight > 0  # static at trace time
 
         def d_loss_fn(d_params):
             p_real, d_mut = self.discriminator.apply(
@@ -233,15 +243,20 @@ class CGANTrainer:
 
         # ---- generator update (vs the updated discriminator) ----------- #
         def g_loss_fn(g_params):
-            fake_g, _ = self.generator.apply(
-                {"params": g_params, "batch_stats": state.g_stats},
-                y, z, train=True, mutable=["batch_stats"])
             if adv_on:
+                fake_g, _ = self.generator.apply(
+                    {"params": g_params, "batch_stats": state.g_stats},
+                    y, z, train=True, mutable=["batch_stats"])
                 p_fake = self.discriminator.apply(
                     {"params": d_params, "batch_stats": d_stats},
                     y, z, fake_g, train=False)
                 adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
             else:
+                # calibration mode: the L1 term must score the exact
+                # eval-mode paint path (see the train-forward note above)
+                fake_g = self.generator.apply(
+                    {"params": g_params, "batch_stats": state.g_stats},
+                    y, z, train=False)
                 adv = jnp.zeros(())
             perc = self._perc(fake_g, x, sample_weight)
             loss = (self.config.adversarial_weight * adv
@@ -253,9 +268,9 @@ class CGANTrainer:
                 # paint-time path), clamped to the truth's transformed range
                 # (+margin) so the exp in the inverse transform cannot
                 # overflow on early-training outliers
-                fake_e = self.generator.apply(
+                fake_e = (fake_g if not adv_on else self.generator.apply(
                     {"params": g_params, "batch_stats": state.g_stats},
-                    y, z, train=False)
+                    y, z, train=False))
                 pred_t = fake_e[..., 0].astype(jnp.float32)
                 x0 = jax.lax.stop_gradient(x[..., 0].astype(jnp.float32))
                 pred_t = jnp.clip(pred_t, x0.min() - 1.0, x0.max() + 1.0)

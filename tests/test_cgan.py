@@ -95,6 +95,7 @@ def test_gan_calibration_mode_freezes_discriminator(dataset):
                                             adversarial_weight=0.0))
     g0 = jax.tree.map(np.asarray, tr.state.g_params)
     d0 = jax.tree.map(np.asarray, tr.state.d_params)
+    s0 = jax.tree.map(np.asarray, tr.state.g_stats)
     m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
     assert float(m["loss_G_adv"]) == 0.0 and float(m["loss_D"]) == 0.0
     assert np.isfinite(float(m["loss_G_perceptual"]))
@@ -106,6 +107,13 @@ def test_gan_calibration_mode_freezes_discriminator(dataset):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         tr.state.d_params, d0)))
     assert gd > 0 and dd == 0.0
+    # BN running stats must NOT drift in calibration mode: every loss term
+    # flows through the eval-mode paint path, so the painted network is
+    # exactly the optimized one (the round-3 0.13 -> 1.0 divergence)
+    sd = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_stats, s0))) if jax.tree.leaves(tr.state.g_stats) else 0.0
+    assert sd == 0.0
 
 
 def test_gan_checkpoint_and_painter(dataset, trainer, tmp_path):
