@@ -193,11 +193,12 @@ class DeviceStackCache:
     @classmethod
     def create_if_fits(cls, dataset: BahamasTileDataset,
                        budget_bytes: int = 8 * 1024 ** 3,
-                       mesh=None) -> Optional["DeviceStackCache"]:
+                       mesh=None,
+                       mesh_axis: str = "data") -> Optional["DeviceStackCache"]:
         """Budget-gated constructor shared by both trainers: returns the
         cache, or None (with a warning) when the per-device stacks exceed
         ``budget_bytes`` and the caller should use the host batch path."""
-        n_shards = mesh.shape["data"] if mesh is not None else 1
+        n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
         if not cls.fits(dataset, budget_bytes, n_shards=n_shards):
             import warnings
             warnings.warn(
@@ -206,7 +207,7 @@ class DeviceStackCache:
                 f"(> budget {budget_bytes / 2**30:.1f} GiB); falling back "
                 "to the host batch path.", stacklevel=3)
             return None
-        return cls(dataset, mesh=mesh)
+        return cls(dataset, mesh=mesh, mesh_axis=mesh_axis)
 
     # ------------------------------------------------------------------ #
 

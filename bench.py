@@ -28,7 +28,8 @@ def log(*a):
 
 
 def backend_unreachable(timeout_s: float = 180.0):
-    """True when auto backend init would hang this process.
+    """A reason string when auto backend init would hang or crash this
+    process, or None when the backend is usable.
 
     The session TPU (axon tunnel) has been observed to wedge for hours with
     TCP still connecting — `jax.devices()` then blocks forever, and a bench
@@ -42,22 +43,28 @@ def backend_unreachable(timeout_s: float = 180.0):
     try:
         subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
                        timeout=timeout_s, check=True,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        return False
+                       stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        return None
     except subprocess.TimeoutExpired:
-        return True
-    except subprocess.CalledProcessError:
-        return True
+        return "device init timed out (tunnel wedged?)"
+    except subprocess.CalledProcessError as e:
+        # a crashed probe is NOT a tunnel outage — surface the real error
+        # (import conflict, backend plugin crash) instead of misfiling it
+        tail = (e.stderr or b"").decode(errors="replace").strip()
+        return "probe crashed: " + (tail.splitlines()[-1] if tail
+                                    else f"exit {e.returncode}")
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and backend_unreachable():
-        log("bench: TPU backend unreachable (tunnel wedged?) — emitting "
-            "error record instead of hanging")
+    reason = (backend_unreachable()
+              if os.environ.get("JAX_PLATFORMS", "") != "cpu" else None)
+    if reason:
+        log(f"bench: TPU backend unusable ({reason}) — emitting error "
+            "record instead of hanging")
         print(json.dumps({
             "metric": "cvae_train_samples_per_sec", "value": 0.0,
             "unit": "samples/s", "vs_baseline": 0.0,
-            "error": "TPU backend unreachable (device init timed out); "
+            "error": f"TPU backend unusable: {reason}; "
                      "not a performance regression — see ROUNDLOG.md"}))
         return
 

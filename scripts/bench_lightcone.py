@@ -291,7 +291,9 @@ def main():
                         "scaling is conservative",
             },
             "target_s": 60.0,
-            "pass": bool(modeled < 60),
+            # timing AND map-level fidelity: a degenerate y-map (constant /
+            # NaN-built) must fail the artifact, not just annotate it
+            "pass": bool(modeled < 60) and cl_ok,
         }
         with open(OUT_JSON, "w") as f:
             json.dump(report, f, indent=1)

@@ -348,6 +348,11 @@ def main():
         raise SystemExit(f"--batch {args.batch} must be divisible by the "
                          f"total z shares ({n_shares}) for the per-z "
                          f"spectral loss")
+    if args.z_boost and not stratify:
+        raise SystemExit("--z-boost only takes effect with the stratified "
+                         "spectral fine-tune (--pk-loss-weight > 0); "
+                         "without it batches are sampled uniformly and the "
+                         "flag would be silently ignored")
 
     def step_indices(j):
         if not stratify:
@@ -427,6 +432,26 @@ def main():
             print(f"  eval @ start: gate = {best[0]:.4f} (selection floor)",
                   file=sys.stderr, flush=True)
 
+    # Dataset-geometry provenance: stamped into every saved checkpoint's
+    # meta so promotion can derive (and cross-check) the --eval-only flags
+    # instead of trusting a hand-typed --eval-args to reproduce the run's
+    # validation data (a forgotten --physical would score the committed
+    # gate against easier, mismatched statistics).
+    dataset_geometry = {
+        "tile": args.tile, "redshifts": args.redshifts,
+        "n_stack": args.n_stack, "physical": bool(args.physical),
+        "pressure_noise": args.pressure_noise, "seed": args.seed,
+    }
+
+    def save_with_geometry(base):
+        trainer.save(base)
+        fn = base + "_meta.json"
+        with open(fn) as f:
+            meta_d = json.load(f)
+        meta_d["fidelity_dataset"] = dataset_geometry
+        with open(fn, "w") as f:
+            json.dump(meta_d, f, indent=1)
+
     def maybe_eval(done):
         nonlocal best
         if not args.eval_every or done % args.eval_every >= args.scan:
@@ -437,7 +462,7 @@ def main():
             best = (worst, jax.device_get(trainer.state))
             # persist immediately: a tunnel drop mid-run must not lose the
             # best state (observed: silent process death at step 1250)
-            trainer.save(ckpt_base + "_best")
+            save_with_geometry(ckpt_base + "_best")
             mark = "  <- best (saved)"
         print(f"  eval @ {done}: gate max_z max(auto,cross) = "
               f"{worst:.4f}{mark}", file=sys.stderr, flush=True)
@@ -481,7 +506,7 @@ def main():
                 trainer.state = jax.device_put(best[1])
                 print("  restored best-gate parameters",
                       file=sys.stderr, flush=True)
-        trainer.save(ckpt_base)
+        save_with_geometry(ckpt_base)
         if stats is not None:
             stats.flush_to_file()
     painter = make_painter(dtype=gate_dtypes[0][1])

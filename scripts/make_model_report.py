@@ -162,7 +162,9 @@ def make_report(model_dir):
                 a, c = by_dtype[label][z]["auto"], by_dtype[label][z]["cross"]
                 cells += [f"{a:.3f}", f"{c:.3f}"]
                 worst = max(worst, a, c)
-            ok = "yes" if worst <= 0.05 else "NO"
+            # strict <, matching fidelity_check's pass_5pct — a 0.050 row
+            # must not read "yes" under a FAIL verdict
+            ok = "yes" if worst < 0.05 else "NO"
             lines.append(f"| {z} | " + " | ".join(cells) + f" | {ok} |")
         verdict = "PASS" if fid.get("pass_5pct") else "FAIL"
         worst_all = max((max(v["auto"], v["cross"])

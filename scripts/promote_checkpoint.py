@@ -154,6 +154,36 @@ def main(argv=None):
     else:
         eval_args += ["--tile", str(tile)]
 
+    # Checkpoints saved by fidelity_check carry their full dataset geometry
+    # (fidelity_dataset in the meta); derive every remaining geometry flag
+    # from it and refuse contradictions, so a forgotten --physical or
+    # --redshifts cannot commit a fidelity report scored on the wrong
+    # validation statistics. Pre-stamp checkpoints fall back to --eval-args.
+    geom = meta.get("fidelity_dataset")
+    if geom:
+        if int(geom["tile"]) != tile:
+            raise SystemExit(f"metadata disagrees with itself: tile_size "
+                             f"{tile} vs fidelity_dataset tile {geom['tile']}")
+        flag_map = [("--redshifts", str(geom["redshifts"]), str),
+                    ("--n-stack", str(geom["n_stack"]), int),
+                    ("--pressure-noise", str(geom["pressure_noise"]), float),
+                    ("--seed", str(geom["seed"]), int)]
+        for flag, want, cast in flag_map:
+            if flag in eval_args:
+                given = eval_args[eval_args.index(flag) + 1]
+                if cast(given) != cast(want):
+                    raise SystemExit(
+                        f"--eval-args says {flag} {given} but the checkpoint "
+                        f"was trained with {flag} {want} (fidelity_dataset)")
+            else:
+                eval_args += [flag, want]
+        if geom.get("physical") and "--physical" not in eval_args:
+            eval_args += ["--physical"]
+        if not geom.get("physical") and "--physical" in eval_args:
+            raise SystemExit("--eval-args says --physical but the checkpoint "
+                             "was trained on the default fixture "
+                             "(fidelity_dataset.physical = false)")
+
     if not args.skip_eval:
         cmd = [sys.executable, os.path.join(SCRIPTS, "fidelity_check.py"),
                "--model", args.model, "--eval-only",
