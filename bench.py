@@ -146,6 +146,27 @@ def main():
     log(f"steady: {dt / n_steps * 1000:.1f} ms/step -> "
         f"{samples_per_sec:.1f} samples/s (elbo={elbo:.4e})")
 
+    # Paint throughput — BASELINE.md's other headline ("512^2 tiles
+    # painted/sec/chip"): prior-sample + decode + inverse transform through
+    # the production paint_batch path. Tiles are staged in HBM first so the
+    # number measures the chip, not the (possibly tunneled) host link.
+    from baryon_painter_tpu.painter import CVAEPainter
+    painter = CVAEPainter.from_trainer(trainer)
+    pb = int(os.environ.get("BPT_BENCH_PAINT_BATCH", str(batch)))
+    raw = ds.get_raw_batch(ds.sample_indices(rng, pb))
+    dm = jax.device_put(jax.numpy.asarray(raw["input"], jax.numpy.float32))
+    zs = jax.device_put(jax.numpy.asarray(raw["z"], jax.numpy.float32))
+    key = jax.random.PRNGKey(2)
+    jax.block_until_ready(painter.paint_batch(dm, zs, rng=key))  # compile
+    n_pd = int(os.environ.get("BPT_BENCH_PAINT_DISPATCHES", "10"))
+    t0 = time.time()
+    for i in range(n_pd):
+        out = painter.paint_batch(dm, zs, rng=jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    paint_tps = n_pd * pb / (time.time() - t0)
+    log(f"paint: {paint_tps:.1f} tiles/s/chip ({tile}^2, batch {pb}, "
+        f"{n_pd} dispatches)")
+
     # FLOPs + MFU so perf regressions are visible, not just samples/s.
     # XLA cost_analysis counts a scan/while BODY once regardless of trip
     # count (measured r3: a 25-step scan reports the same flops as one
@@ -184,6 +205,7 @@ def main():
         "bytes_per_step": (None if np.isnan(bytes_per_step)
                            else round(bytes_per_step / 1e9, 2) * 1e9),
         "achieved_bw_frac": None if np.isnan(bw_frac) else round(bw_frac, 3),
+        "paint_tiles_per_sec": round(paint_tps, 1),
     }))
 
 
