@@ -3,13 +3,13 @@
 The reference leans on ``scipy.ndimage.zoom`` with spline orders 3 and 5 and
 modes 'mirror'/'reflect' (process_SLICS.py:64,167,205; create_lightcone.py:122).
 ``jax.image.resize`` uses different kernels (Keys cubic, not B-splines), so we
-implement the real thing: recursive-IIR spline prefiltering with exact
-infinite-extension boundary initialisation, then separable B-spline evaluation
-with scipy's grid_mode=False coordinate mapping.
-
-Everything is jit-able; the sequential prefilter runs as a lax.scan along the
-resampled axis, vectorized across all other axes (resampling is not the hot
-path - the conv nets are - but it must be *correct* for the y-map fidelity).
+implement the real thing: inverse-B-spline prefiltering with exact
+infinite-extension boundary initialisation (truncated-FIR by default, exact
+FFT deconvolution as the regression reference — scipy's sequential
+causal/anticausal recursion is a terrible TPU fit), then separable B-spline
+evaluation with scipy's grid_mode=False coordinate mapping. Everything is
+jit-able; the prefilter dominates the SLICS zoom cost, so it must be fast as
+well as *correct* for the y-map fidelity.
 """
 from __future__ import annotations
 
@@ -56,23 +56,104 @@ _BSPLINE_TAPS = {
 }
 
 
-def spline_filter_1d(x, order: int, mode: str = "mirror", axis: int = -1):
+# Half-width of the truncated inverse-B-spline FIR (per order). The inverse
+# filter 1/B(z) has impulse response sums of |pole|^|k| terms; the slowest
+# pole sets the decay. K is chosen so |pole_max|^(K+1) < 1e-9 — truncation
+# error below f32 roundoff of the exact (FFT) deconvolution.
+_FIR_HALF_WIDTH = {2: 12, 3: 16, 4: 22, 5: 26}
+
+
+@functools.lru_cache(maxsize=None)
+def _fir_inverse_taps(order: int) -> np.ndarray:
+    """Truncated impulse response of the inverse B-spline filter 1/B(z).
+
+    Computed numerically as the circular deconvolution kernel on a period
+    far longer than the decay length (the poles decay geometrically, so
+    h[|k|>K] is below 1e-9 of h[0] for the K table above).
+    """
+    P = 1 << 13
+    taps = _BSPLINE_TAPS[order]
+    r = len(taps) // 2
+    kernel = np.zeros(P)
+    for k in range(-r, r + 1):
+        kernel[k % P] += taps[k + r]
+    h = np.fft.irfft(1.0 / np.fft.rfft(kernel))
+    K = _FIR_HALF_WIDTH[order]
+    out = h[np.arange(-K, K + 1) % P]
+    assert abs(h[K + 1]) < 1e-8 * abs(out[K]), "FIR half-width too small"
+    return out
+
+
+def _spline_filter_fir(x, order: int, mode: str):
+    """Truncated-FIR inverse-spline filtering along the LAST axis.
+
+    Pads the signal by K samples of its mirror/reflect periodic extension
+    (a static gather), then runs one VALID 1-D convolution with the
+    symmetric truncated inverse kernel — identical to the circular
+    deconvolution up to |pole|^(K+1) ~ 1e-9. Unlike the FFT route this
+    needs no complex intermediates and no Bluestein factors for awkward
+    lengths (a 7053^2 SLICS native tile spends ~all its zoom time in the
+    length-14104 rfft; the FIR is a 33-53 tap conv).
+    """
+    n = x.shape[-1]
+    if n == 1:
+        return x  # the periodic extension is constant; B(z) sums to 1
+    K = _FIR_HALF_WIDTH[order]
+    h = jnp.asarray(_fir_inverse_taps(order), jnp.float32)
+    # static host-side index map (the jnp _map_indices would stage under jit)
+    raw = np.arange(-K, n + K)
+    if mode == "mirror":
+        p = 2 * n - 2
+        m = np.abs(raw) % p
+        idx = np.minimum(m, p - m)
+    elif mode == "reflect":
+        p = 2 * n
+        m = raw % p
+        idx = np.where(m < n, m, p - 1 - m)
+    else:
+        raise ValueError(
+            f"mode '{mode}' not supported (use 'mirror' or 'reflect').")
+    xp = x.astype(jnp.float32)[..., idx]
+    lead = xp.shape[:-1]
+    flat = xp.reshape((-1, 1, n + 2 * K))
+    # Precision.HIGHEST: on TPU a default-precision f32 conv is a single
+    # bf16 MXU pass — ~0.8% error on the prefiltered plane (measured),
+    # visible against the exact FFT path. The taps are few; genuine f32
+    # accumulation costs nothing measurable here.
+    out = jax.lax.conv_general_dilated(
+        flat, h.reshape(1, 1, 2 * K + 1), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(lead + (n,)).astype(x.dtype)
+
+
+def spline_filter_1d(x, order: int, mode: str = "mirror", axis: int = -1,
+                     impl: str = "auto"):
     """B-spline prefilter along one axis (scipy.ndimage.spline_filter1d).
 
     The mirror/reflect extension of the signal is PERIODIC (period 2N-2 or
     2N), and the infinite-extension prefilter on a periodic signal is exactly
-    a circular deconvolution by the sampled B-spline kernel. So instead of
-    the sequential causal/anticausal recursion (a terrible fit for TPUs -
-    thousands of tiny scan steps) we solve it with one FFT:
+    a circular deconvolution by the sampled B-spline kernel — which matches
+    scipy's boundary handling exactly because scipy's boundary initialisation
+    IS the infinite/periodic extension steady state. (The sequential
+    causal/anticausal recursion scipy runs is a terrible fit for TPUs —
+    thousands of tiny scan steps.)
 
-        c = irfft( rfft(extend(x)) / rfft(b, P) )[:N]
-
-    This matches scipy's boundary handling exactly because scipy's boundary
-    initialisation IS the infinite/periodic extension steady state.
+    ``impl`` selects how the deconvolution is computed:
+      * ``"fir"`` (and ``"auto"``): truncated-FIR convolution — see
+        ``_spline_filter_fir``; error vs exact < 1e-9 relative, no complex
+        intermediates, no awkward-length FFTs.
+      * ``"fft"``: exact circular deconvolution
+        ``irfft(rfft(extend(x)) / rfft(b, P))[:N]`` — the regression
+        reference for the FIR path.
     """
     if order < 2:
         return x
     x = jnp.moveaxis(x, axis, -1)
+    if impl in ("auto", "fir"):
+        return jnp.moveaxis(_spline_filter_fir(x, order, mode), -1, axis)
+    if impl != "fft":
+        raise ValueError(f"impl {impl!r} (use 'auto', 'fir' or 'fft')")
     n = x.shape[-1]
     xt = _extend(x, mode)
     p = xt.shape[-1]
@@ -170,9 +251,9 @@ def _resample_axis(c, out_n: int, order: int, mode: str, axis: int):
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "order", "mode",
-                                             "prefilter"))
+                                             "prefilter", "prefilter_impl"))
 def resize_spline(x, out_shape, order: int = 3, mode: str = "mirror",
-                  prefilter: bool = True):
+                  prefilter: bool = True, prefilter_impl: str = "auto"):
     """Resample the last two axes of ``x`` to ``out_shape`` (H, W).
 
     Matches scipy.ndimage.zoom semantics with grid_mode=False: output
@@ -183,8 +264,8 @@ def resize_spline(x, out_shape, order: int = 3, mode: str = "mirror",
     out_h, out_w = out_shape
     c = x
     if prefilter and order >= 2:
-        c = spline_filter_1d(c, order, mode, axis=-1)
-        c = spline_filter_1d(c, order, mode, axis=-2)
+        c = spline_filter_1d(c, order, mode, axis=-1, impl=prefilter_impl)
+        c = spline_filter_1d(c, order, mode, axis=-2, impl=prefilter_impl)
     c = _resample_axis(c, out_w, order, mode, axis=-1)
     c = _resample_axis(c, out_h, order, mode, axis=-2)
     return c

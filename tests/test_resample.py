@@ -49,6 +49,20 @@ def test_zoom_nearest_matches_scipy_at_half_integer_coords():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+@pytest.mark.parametrize("mode", ["mirror", "reflect"])
+@pytest.mark.parametrize("n", [5, 23, 200])
+def test_fir_prefilter_matches_fft(rng, order, mode, n):
+    """The truncated-FIR inverse-spline filter is the default; it must agree
+    with the exact FFT circular deconvolution to ~1e-6 at every length —
+    including n smaller than the FIR half-width (periodic wrap of the pad)."""
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    fir = np.asarray(spline_filter_1d(jnp.asarray(x), order, mode, impl="fir"))
+    fft = np.asarray(spline_filter_1d(jnp.asarray(x), order, mode, impl="fft"))
+    np.testing.assert_allclose(fir, fft, rtol=2e-5,
+                               atol=2e-5 * np.abs(fft).max())
+
+
 def test_zoom_identity(rng):
     x = rng.standard_normal((16, 16)).astype(np.float32)
     got = np.asarray(zoom(jnp.asarray(x), 1.0, order=3, mode="mirror"))
