@@ -157,12 +157,15 @@ def main():
     dm = jax.device_put(jax.numpy.asarray(raw["input"], jax.numpy.float32))
     zs = jax.device_put(jax.numpy.asarray(raw["z"], jax.numpy.float32))
     key = jax.random.PRNGKey(2)
-    jax.block_until_ready(painter.paint_batch(dm, zs, rng=key))  # compile
+    # sync by materializing a value: block_until_ready has been observed to
+    # return early over the tunneled (axon) backend, which would make this
+    # a dispatch-rate benchmark instead of a throughput one
+    float(painter.paint_batch(dm, zs, rng=key).sum())  # compile
     n_pd = int(os.environ.get("BPT_BENCH_PAINT_DISPATCHES", "10"))
     t0 = time.time()
     for i in range(n_pd):
         out = painter.paint_batch(dm, zs, rng=jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    float(out.sum())
     paint_tps = n_pd * pb / (time.time() - t0)
     log(f"paint: {paint_tps:.1f} tiles/s/chip ({tile}^2, batch {pb}, "
         f"{n_pd} dispatches)")
