@@ -1,0 +1,333 @@
+"""Spatially-sharded, seam-free whole-plane painting (SP over ICI).
+
+The reference paints large SLICS planes as overlapping 512-pixel tiles
+blended with Gaussian weight maps (process_SLICS.py:196-220) because a
+single-GPU PyTorch model only fits tile-sized inputs. The models are fully
+convolutional, so on TPU we can do better: paint the WHOLE plane in one
+pass, sharded spatially across the chips of a slice with halo exchange
+over ICI — no tiles, no weight maps, no blending seams.
+
+This is the "spatial sharding of conv layers via shard_map with halo
+exchange" lever of SURVEY §5: instead of sharding every conv's inner loop,
+we exploit that the total receptive field of the paint path is a few
+hundred pixels and exchange that margin ONCE on the input plane. Each
+device paints its row-slab extended by the receptive-field halo (fetched
+from its ring neighbours with ``lax.ppermute``) and crops the halo off its
+output. Interior results are bit-identical to an unsharded whole-plane
+paint: convolution is local, so a slab that covers the receptive field of
+every interior output computes exactly the same sums.
+
+Latent consistency: the CVAE's prior sample z ~ N(mu, sigma) lives on the
+/f latent grid (f = total downsample factor, 32 for the fiducial). To make
+the sharded paint equal to the unsharded one, the noise eps is drawn ONCE
+on the GLOBAL latent grid and every device slices its (halo-extended) part
+— mu and sigma come from the local prior pass, which is interior-exact by
+the same receptive-field argument.
+
+Boundary semantics are periodic (the planes are slices of periodic boxes):
+the row halos wrap via the ppermute ring, the column halos via wrap
+padding. An unsharded reference path (``mesh=None``) applies identical
+wrap padding so the two are comparable everywhere, not just in slab
+interiors.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["spec_receptive_margin", "required_halo", "latent_downsample",
+           "paint_plane"]
+
+
+# --------------------------------------------------------------------- #
+# receptive-field accounting over the layer-spec DSL (models/dsl.py)
+# --------------------------------------------------------------------- #
+
+def spec_receptive_margin(spec, f: float = 1.0):
+    """Upper-bound the one-sided receptive-field margin of a spec stack.
+
+    Walks a ``SpecSequential`` layer-spec list tracking ``f``, the input-
+    pixel footprint of one feature at the current layer's input, and
+    accumulates each layer's half-kernel reach in input pixels:
+
+      * conv k, stride s:        margin += (k // 2) * f;  f *= s
+      * transp conv k, stride s: margin += ceil(k / s) * f;  f /= s
+      * upsample nearest s:      f /= s
+      * residual block:          margin += margin(inner)  (stride-1)
+      * batchnorm (eval) / activations: pointwise
+
+    Returns ``(margin_in_input_pixels, f_out)``. The bound is slightly
+    conservative for transposed convs; tests pin sufficiency by comparing
+    paints at ``halo`` and ``2 * halo`` (tests/test_spatial_paint.py).
+    """
+    margin = 0.0
+    if spec is None:
+        return margin, f
+    for layer in spec:
+        name = layer[0]
+        lname = name.lower() if isinstance(name, str) else name
+        config = layer[1] if len(layer) > 1 else None
+        if lname == "conv":
+            k = config["kernel_size"]
+            s = config.get("stride", 1)
+            margin += (k // 2) * f
+            f *= s
+        elif lname == "transp conv":
+            k = config["kernel_size"]
+            s = config.get("stride", 1)
+            margin += math.ceil(k / s) * f
+            f /= s
+        elif lname == "upsample nearest":
+            f /= config["scale"]
+        elif lname == "residual block":
+            inner, _act = config
+            m_in, f_in = spec_receptive_margin(inner, f)
+            if f_in != f:
+                raise ValueError("residual block inner spec changes "
+                                 "resolution; cannot bound its halo")
+            margin += m_in
+        elif lname in ("batchnorm", "relu", "leaky relu", "prelu", "tanh",
+                       "sigmoid", "softplus", "flatten", "unflatten"):
+            # batchnorm is pointwise only with running stats (train=False);
+            # paint_plane always runs the model in eval mode.
+            pass
+        elif lname == "linear":
+            raise ValueError("spatial painting requires a fully "
+                             "convolutional network; found a linear layer")
+        else:
+            raise ValueError(f"Unknown spec layer {name!r} in receptive-"
+                             "field walk")
+    return margin, f
+
+
+def latent_downsample(architecture: dict) -> int:
+    """Alignment granularity of the paint path.
+
+    CVAE: the latent-grid factor (dim_y / dim_z spatial ratio, 32 for the
+    fiducial); CGAN: the generator's internal downsample (4). Slab
+    boundaries and halos must be multiples of this so strided convs tile
+    identically in sharded and unsharded paints."""
+    if "dim_z" in architecture:
+        return int(architecture["dim_y"][1]) // int(architecture["dim_z"][1])
+    return 4  # CGAN generator: two stride-2 downs
+
+
+def required_halo(architecture: dict, model_kind: str = "cvae") -> int:
+    """One-sided input halo (pixels) for seam-free painting, rounded up to
+    the alignment granularity of :func:`latent_downsample`."""
+    if model_kind == "cvae":
+        # longest path: y -> prior -> z -> p_z_in -> p_y_z_in -> out head.
+        # Sequential composition of the walks bounds both the z path and
+        # the direct y branch into p_y_z_in.
+        m = 0.0
+        f = 1.0
+        for key in ("prior_z_y", "p_z_in", "p_y_z_in"):
+            dm, f = spec_receptive_margin(architecture.get(key), f)
+            m += dm
+        heads = architecture["p_y_z_out"]
+        m += max(spec_receptive_margin(h, f)[0] for h in heads)
+    elif model_kind == "cgan":
+        from baryon_painter_tpu.models.cgan import cgan_generator_spec
+        body, head = cgan_generator_spec(
+            architecture.get("in_channels", 2),
+            architecture.get("n_res_blocks", 9),
+            architecture.get("upsample", "transpose"))
+        m, f = spec_receptive_margin(body, 1.0)
+        m += spec_receptive_margin(head, f)[0]
+    else:
+        raise ValueError(f"Unknown model kind {model_kind!r}")
+    f_align = latent_downsample(architecture)
+    return int(math.ceil(m / f_align)) * f_align
+
+
+# --------------------------------------------------------------------- #
+# slab paint bodies
+# --------------------------------------------------------------------- #
+
+def _cvae_slab_fn(painter, z_mode: str, transform: bool,
+                  inverse_transform: bool):
+    """(variables, slab(H,W), zs(1,), eps|None) -> painted slab (H,W)."""
+    model = painter.model
+    in_tf = painter.transforms[painter.input_field]
+    in_stats = painter.stats[painter.input_field]
+    out_field = painter.label_fields[0]
+    out_tf = painter.transforms[out_field]
+    out_stats = painter.stats[out_field]
+    min_z_var = painter.architecture.get("min_z_var", 1e-7)
+
+    def fn(variables, slab, zs, eps):
+        y = slab[None]  # (1, H, W)
+        if transform:
+            y = in_tf.forward(y, in_stats, zs)
+        y = y[..., None]  # NHWC
+        z_mu, z_log_var = model.apply(variables, y, zs, train=False,
+                                      method=model.prior)
+        if z_mode == "mean":
+            z_latent = z_mu
+        elif z_mode == "zero":
+            z_latent = jnp.zeros_like(z_mu)
+        elif z_mode == "sample":
+            sigma = jnp.exp(z_log_var / 2) + min_z_var
+            z_latent = z_mu + eps[None].astype(z_mu.dtype) * sigma
+        else:
+            raise ValueError(f"Unknown z_mode {z_mode!r}")
+        pred = model.apply(variables, y, zs, z=z_latent, train=False,
+                           method=model.sample_P)
+        pred = pred[..., 0]  # (1, H, W) — single output field
+        if inverse_transform:
+            pred = out_tf.inverse(pred, out_stats, zs)
+        return pred[0]
+
+    return fn
+
+
+def _cgan_slab_fn(painter, transform: bool, inverse_transform: bool):
+    gen = painter.generator
+    in_tf = painter.transforms[painter.input_field]
+    in_stats = painter.stats[painter.input_field]
+    out_field = painter.label_fields[0]
+    out_tf = painter.transforms[out_field]
+    out_stats = painter.stats[out_field]
+
+    def fn(variables, slab, zs, eps):
+        del eps
+        y = slab[None]
+        if transform:
+            y = in_tf.forward(y, in_stats, zs)
+        pred = gen.apply(variables, y[..., None], zs, train=False)[..., 0]
+        if inverse_transform:
+            pred = out_tf.inverse(pred, out_stats, zs)
+        return pred[0]
+
+    return fn
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------- #
+# the public entry point
+# --------------------------------------------------------------------- #
+
+def paint_plane(painter, plane, z: float, mesh: Optional[Mesh] = None,
+                axis_name: Optional[str] = None, halo: Optional[int] = None,
+                z_mode: str = "sample", rng=None, transform: bool = True,
+                inverse_transform: bool = True):
+    """Paint a full (H, W) plane seam-free, optionally sharded over a mesh.
+
+    Parameters
+    ----------
+    painter : CVAEPainter or CGANPainter (loaded / trained).
+    plane : (H, W) array in the painter's input-field units, at the
+        painter's TRAINING resolution (tile_L / tile_size per pixel) —
+        resample first if the native plane resolution differs
+        (ops/resample.zoom, as the lightcone pipeline does for tiles).
+    z : scalar redshift for the whole plane (one lightcone shell).
+    mesh : optional 1-D ``jax.sharding.Mesh``; rows are sharded over
+        ``axis_name`` (default: the mesh's first axis) and halos are
+        exchanged with ``lax.ppermute`` over ICI. ``None`` paints
+        unsharded with identical periodic-wrap semantics.
+    halo : one-sided receptive-field margin in pixels; default
+        :func:`required_halo` of the painter's architecture.
+    z_mode : 'sample' (prior sample, reference behavior) | 'mean' | 'zero'.
+    rng : PRNG key for 'sample' mode (default: key 0).
+
+    Returns the painted (H, W) plane as a jax array (sharded over the mesh
+    when one is given).
+    """
+    from baryon_painter_tpu.painter import CGANPainter
+
+    kind = "cgan" if isinstance(painter, CGANPainter) else "cvae"
+    arch = painter.architecture if kind == "cvae" else \
+        painter.meta["model_architecture"]
+    f = latent_downsample(arch)
+    if halo is None:
+        halo = required_halo(arch, kind)
+    halo = _round_up(max(int(halo), f), f)
+
+    plane = jnp.asarray(plane, jnp.float32)
+    if plane.ndim != 2:
+        raise ValueError(f"paint_plane expects a 2-D plane, got "
+                         f"{plane.shape}")
+    H, W = plane.shape
+
+    if mesh is not None:
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+        n = mesh.shape[axis_name]
+    else:
+        n = 1
+
+    # pad to shardable multiples with periodic wrap
+    Hp = _round_up(H, n * f)
+    Wp = _round_up(W, f)
+    if (Hp, Wp) != (H, W):
+        plane = jnp.pad(plane, ((0, Hp - H), (0, Wp - W)), mode="wrap")
+    if n > 1 and halo > Hp // n:
+        raise ValueError(
+            f"halo {halo} exceeds the per-device slab height {Hp // n}; "
+            f"use fewer devices along {axis_name!r} or a larger plane")
+
+    zs = jnp.full((1,), float(z), jnp.float32)
+    hf = halo // f
+    cz = int(arch["dim_z"][0]) if kind == "cvae" else 0
+
+    eps_pad = None
+    if kind == "cvae" and z_mode == "sample":
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        eps = jax.random.normal(rng, (Hp // f, Wp // f, cz), jnp.float32)
+        eps_pad = jnp.pad(eps, ((hf, hf), (hf, hf), (0, 0)), mode="wrap")
+
+    # columns wrap once, outside the sharded region (W is not sharded)
+    plane_w = jnp.pad(plane, ((0, 0), (halo, halo)), mode="wrap")
+
+    slab_fn = (_cvae_slab_fn(painter, z_mode, transform, inverse_transform)
+               if kind == "cvae"
+               else _cgan_slab_fn(painter, transform, inverse_transform))
+
+    if mesh is None:
+        ext = jnp.pad(plane_w, ((halo, halo), (0, 0)), mode="wrap")
+        eps_arg = eps_pad
+        out = jax.jit(slab_fn)(painter.variables, ext, zs, eps_arg)
+        return out[halo:-halo, halo:-halo][:H, :W]
+
+    from jax import shard_map
+
+    Hl = Hp // n
+    perm_down = [(j, (j + 1) % n) for j in range(n)]  # j's bottom -> j+1 top
+    perm_up = [(j, (j - 1) % n) for j in range(n)]    # j's top -> j-1 bottom
+
+    use_eps = eps_pad is not None
+    if not use_eps:  # dummy replicated operand (shard_map wants arrays)
+        eps_pad = jnp.zeros((1, 1, 1), jnp.float32)
+
+    def body(variables, slab, zs_, eps_pad_):
+        i = lax.axis_index(axis_name)
+        top = lax.ppermute(slab[-halo:], axis_name, perm_down)
+        bot = lax.ppermute(slab[:halo], axis_name, perm_up)
+        ext = jnp.concatenate([top, slab, bot], axis=0)
+        eps_slab = None
+        if use_eps:
+            eps_slab = lax.dynamic_slice(
+                eps_pad_, (i * (Hl // f), 0, 0),
+                (Hl // f + 2 * hf, eps_pad_.shape[1], cz))
+        out = slab_fn(variables, ext, zs_, eps_slab)
+        return out[halo:-halo, halo:-halo]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(), P()),
+        out_specs=P(axis_name, None))
+    variables = jax.device_put(painter.variables, NamedSharding(mesh, P()))
+    plane_sh = jax.device_put(plane_w, NamedSharding(mesh, P(axis_name,
+                                                             None)))
+    out = jax.jit(sharded)(variables, plane_sh, zs, eps_pad)
+    return out[:H, :W]

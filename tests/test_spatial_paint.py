@@ -1,0 +1,194 @@
+"""Spatially-sharded seam-free plane painting (parallel/spatial.py).
+
+The reference paints big planes as overlapping tiles blended with weight
+maps (process_SLICS.py:196-220); the TPU-native path paints the whole
+plane at once, row-sharded over a mesh with ppermute halo exchange. These
+tests pin the two invariants that make that exact:
+
+  * halo sufficiency — the receptive-field bound from the spec walk is
+    large enough that doubling it does not change the painted plane;
+  * shard transparency — an 8-device sharded paint equals the unsharded
+    one everywhere (same global latent noise), for CVAE and CGAN.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baryon_painter_tpu.data.dataset import BahamasTileDataset, load_file_info
+from baryon_painter_tpu.data.synthetic import make_synthetic_stacks
+from baryon_painter_tpu.models import dsl
+from baryon_painter_tpu.models.cvae import CVAE, fiducial_cvae_architecture
+from baryon_painter_tpu.painter import CGANPainter, CVAEPainter
+from baryon_painter_tpu.parallel.mesh import data_parallel_mesh
+from baryon_painter_tpu.parallel.spatial import (latent_downsample,
+                                                 paint_plane, required_halo,
+                                                 spec_receptive_margin)
+from baryon_painter_tpu.train.trainer import CVAETrainer, TrainConfig
+from baryon_painter_tpu.transforms import RangeCompress
+
+TILE = 64
+
+
+def mini_cvae_arch(tile=TILE):
+    """A small fully-conv CVAE (latent grid /4) so halos stay test-sized;
+    same DSL keys as the fiducial (models/cvae.py)."""
+    dim_z = (1, tile // 4, tile // 4)
+    return {
+        "type": "Type-1",
+        "dim_x": (1, tile, tile),
+        "dim_y": (1, tile, tile),
+        "dim_z": dim_z,
+        "n_x_features": 1,
+        "aux_label": True,
+        "prior_z_y": (dsl.conv_down(2, [8, 16], [2, 2])
+                      + dsl.conv_block(16, 2, kernel=3)),
+        "q_x_in": dsl.conv_down(1, [8, 16], [2, 2]),
+        "q_y_in": dsl.conv_down(2, [8, 16], [2, 2]),
+        "q_x_y_out": dsl.conv_block(32, 2, kernel=3),
+        "p_y_in": None,
+        "p_z_in": dsl.conv_up(1, [1, 1], [2, 2]),
+        "p_y_z_in": (dsl.conv_block(3, 8, kernel=3)
+                     + dsl.conv_down(8, [16], [2])
+                     + [("residual block", dsl.res_block(16))]
+                     + dsl.conv_up(16, [8], [2])),
+        "p_y_z_out": (dsl.conv_block(8, 1, kernel=3, batchnorm=False,
+                                     activation="softplus"),),
+        "min_x_var": 1e-7,
+        "min_z_var": 1e-7,
+        "L": 1,
+    }
+
+
+@pytest.fixture(scope="module")
+def painter(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stacks"))
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=2 * TILE,
+                                 redshifts=(0.0, 1.0))
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    arch = mini_cvae_arch()
+    tr = CVAETrainer(CVAE(arch), ds, config=TrainConfig(seed=0))
+    tr.step(ds.get_raw_batch(np.arange(2)), lr=1e-3)
+    return CVAEPainter.from_trainer(tr), ds
+
+
+def _plane(ds, rows=288, cols=96, seed=3):
+    rng = np.random.default_rng(seed)
+    # in-distribution amplitudes: tile the dataset's own DM field
+    base = ds.get_input_sample(5, transform=False)
+    reps = (rows + TILE - 1) // TILE, (cols + TILE - 1) // TILE
+    plane = np.tile(base, reps)[:rows, :cols]
+    return plane * (1 + 0.05 * rng.standard_normal(plane.shape))
+
+
+# --------------------------------------------------------------------- #
+
+
+def test_margin_walk_fiducial():
+    arch = fiducial_cvae_architecture(tile_size=512, n_res_blocks=4)
+    assert latent_downsample(arch) == 32
+    h = required_halo(arch, "cvae")
+    assert h % 32 == 0 and 128 <= h <= 1024
+    # resize decoder has a smaller upsampling footprint
+    arch_r = fiducial_cvae_architecture(tile_size=512, n_res_blocks=4,
+                                        upsample="resize")
+    assert required_halo(arch_r, "cvae") <= h
+
+
+def test_margin_walk_rejects_non_conv():
+    with pytest.raises(ValueError, match="linear"):
+        spec_receptive_margin((("linear", {"out_features": 4}),))
+
+
+def test_halo_sufficiency(painter):
+    """Doubling the computed halo must not change the painted plane —
+    i.e. the receptive-field bound really covers the network."""
+    p, ds = painter
+    arch = p.architecture
+    h = required_halo(arch, "cvae")
+    plane = _plane(ds, rows=160, cols=96)
+    rng = jax.random.PRNGKey(7)
+    a = np.asarray(paint_plane(p, plane, z=0.5, halo=h, rng=rng))
+    b = np.asarray(paint_plane(p, plane, z=0.5, halo=2 * h, rng=rng))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_equals_unsharded_sample(painter):
+    p, ds = painter
+    plane = _plane(ds, rows=288, cols=96)
+    rng = jax.random.PRNGKey(11)
+    plain = np.asarray(paint_plane(p, plane, z=1.0, rng=rng))
+    mesh = data_parallel_mesh(8, axis_name="sp")
+    sharded = paint_plane(p, plane, z=1.0, mesh=mesh, rng=rng)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), plain, rtol=1e-5,
+                               atol=1e-6)
+    assert np.all(np.isfinite(plain))
+
+
+def test_sharded_equals_unsharded_mean_mode(painter):
+    p, ds = painter
+    plane = _plane(ds, rows=288, cols=96, seed=5)
+    plain = np.asarray(paint_plane(p, plane, z=0.0, z_mode="mean"))
+    mesh = data_parallel_mesh(4, axis_name="sp")
+    sharded = paint_plane(p, plane, z=0.0, z_mode="mean", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), plain, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_non_multiple_plane_shape(painter):
+    """Planes that don't divide by n_devices * f are wrap-padded and
+    cropped back — output shape equals input shape."""
+    p, ds = painter
+    plane = _plane(ds, rows=150, cols=91)
+    mesh = data_parallel_mesh(2, axis_name="sp")
+    out = paint_plane(p, plane, z=0.5, mesh=mesh,
+                      rng=jax.random.PRNGKey(0))
+    assert out.shape == (150, 91)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_halo_exceeding_slab_raises(painter):
+    p, ds = painter
+    plane = _plane(ds, rows=96, cols=96)
+    mesh = data_parallel_mesh(8, axis_name="sp")
+    with pytest.raises(ValueError, match="slab height"):
+        paint_plane(p, plane, z=0.5, mesh=mesh, halo=64,
+                    rng=jax.random.PRNGKey(0))
+
+
+def test_cgan_plane_paint(tmp_path):
+    from baryon_painter_tpu.models.cgan import (CGANDiscriminator,
+                                                CGANGenerator)
+    from baryon_painter_tpu.train.cgan import CGANTrainer, CGANTrainConfig
+    root = str(tmp_path / "stacks")
+    info = make_synthetic_stacks(root, n_stack=2, n_grid=2 * TILE,
+                                 redshifts=(0.0, 1.0))
+    ds = BahamasTileDataset(
+        files=load_file_info(info), root_path=root, n_tile=2,
+        transforms={"dm": RangeCompress("shift-log", 4.0),
+                    "pressure": RangeCompress("shift-log", 4.0)})
+    tr = CGANTrainer(ds, config=CGANTrainConfig(seed=0),
+                     generator=CGANGenerator(n_res_blocks=2,
+                                             spectral_norm=False),
+                     discriminator=CGANDiscriminator(spectral_norm=False))
+    tr.step(ds.get_raw_batch(np.arange(2)), lr=5e-5)
+    p = CGANPainter.from_trainer(tr)
+
+    arch = p.meta["model_architecture"]
+    assert latent_downsample(arch) == 4
+    h = required_halo(arch, "cgan")
+    assert h % 4 == 0 and h > 0
+
+    plane = _plane(ds, rows=160, cols=96, seed=9)
+    plain = np.asarray(paint_plane(p, plane, z=1.0))
+    # halo sufficiency for the CGAN walk too
+    big = np.asarray(paint_plane(p, plane, z=1.0, halo=2 * h))
+    np.testing.assert_allclose(plain, big, rtol=1e-5, atol=1e-6)
+    mesh = data_parallel_mesh(4, axis_name="sp")
+    sharded = paint_plane(p, plane, z=1.0, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), plain, rtol=1e-5,
+                               atol=1e-6)
