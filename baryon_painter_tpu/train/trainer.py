@@ -108,6 +108,15 @@ class TrainConfig:
     # while the z-averaged spectrum stays perfect. Use with batches carrying
     # a balanced number of samples per z.
     pk_loss_per_z: bool = False
+    # Keep BatchNorm running statistics fixed at their restored values
+    # during fine-tunes. The painted spectrum is evaluated through
+    # eval-mode BN (running averages), so momentum-0.9 running-stat
+    # updates move the gate metric even at lr -> 0 — measured: resuming a
+    # gate-floor checkpoint at lr 5e-6 jumped the gate 0.054 -> 0.12 in
+    # 100 steps with frozen-quality gradients (round-3 log). The CGAN
+    # calibration mode freezes its G stats for the same reason
+    # (train/cgan.py adversarial_weight=0); this is the CVAE counterpart.
+    freeze_bn_stats: bool = False
     verbose: bool = False
 
 
@@ -310,7 +319,9 @@ class CVAETrainer:
         direction = jax.tree.map(lambda u: lr * u, direction)
         params = optax.apply_updates(state.params, direction)
         new_state = TrainState(params=params,
-                               batch_stats=updates["batch_stats"],
+                               batch_stats=(state.batch_stats
+                                            if self.config.freeze_bn_stats
+                                            else updates["batch_stats"]),
                                opt_state=opt_state,
                                step=state.step + 1)
         metrics = {k: v for k, v in out.items()

@@ -140,6 +140,15 @@ def main():
                         "at twice the rate of every other z (gate selection "
                         "still scores all redshifts). Batch size must divide "
                         "by the total share count.")
+    p.add_argument("--freeze-bn", action="store_true",
+                   help="CVAE fine-tunes: keep BatchNorm running stats "
+                        "fixed at their restored values (TrainConfig."
+                        "freeze_bn_stats). The gate paints through "
+                        "eval-mode BN, so momentum-0.9 running-stat "
+                        "updates move the gate even at lr->0; freezing "
+                        "makes a resumed gate-floor checkpoint actually "
+                        "refinable (the CGAN calibration mode does this "
+                        "implicitly)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
@@ -250,7 +259,8 @@ def main():
             CVAE(arch, dtype=train_dtype), train_ds,
             config=TrainConfig(seed=args.seed,
                                pk_loss_weight=args.pk_loss_weight,
-                               pk_loss_per_z=args.pk_loss_weight > 0),
+                               pk_loss_per_z=args.pk_loss_weight > 0,
+                               freeze_bn_stats=args.freeze_bn),
             device_data=True)
         make_painter = lambda dtype="keep": CVAEPainter.from_trainer(
             trainer, dtype=dtype)

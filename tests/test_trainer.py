@@ -288,3 +288,34 @@ def test_pk_loss_per_z_matches_manual_grouping(dataset, arch):
     expect = 0.5 * (loss(tr_pooled, b0) + loss(tr_pooled, b1))
     assert loss(tr_perz, bmix) == pytest.approx(expect, rel=1e-4)
     assert np.isfinite(loss(tr_perz, bmix))
+
+
+def test_freeze_bn_stats(dataset, arch):
+    """freeze_bn_stats pins the running BN statistics while params train.
+
+    The P(k) gate paints through eval-mode BN; momentum-0.9 running-stat
+    updates move the gate even at lr -> 0 (measured: a resumed gate-floor
+    checkpoint jumped 0.054 -> 0.12 in 100 steps at lr 5e-6). Fine-tunes
+    resume with the restored stats frozen."""
+    batch = dataset.get_raw_batch(np.arange(4))
+
+    tr = make_trainer(dataset, arch, freeze_bn_stats=True)
+    p0 = jax.device_get(tr.state.params)
+    s0 = jax.device_get(tr.state.batch_stats)
+    for _ in range(2):
+        tr.step(batch, lr=1e-3)
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.params, p0)))
+    frozen = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.batch_stats, s0)))
+    assert moved > 0 and frozen == 0.0
+
+    tr2 = make_trainer(dataset, arch)  # default: stats update
+    s0 = jax.device_get(tr2.state.batch_stats)
+    tr2.step(batch, lr=1e-3)
+    drift = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr2.state.batch_stats, s0)))
+    assert drift > 0
