@@ -26,8 +26,8 @@ from baryon_painter_tpu.lightcone.tiling import (generate_tiling, get_tile,
                                                  tile_origin_pixels)
 from baryon_painter_tpu.ops.resample import resize_spline
 
-__all__ = ["paint_plane", "paint_plane_from_massplane", "process_slics",
-           "blend_tiles"]
+__all__ = ["paint_plane", "paint_plane_seamless",
+           "paint_plane_from_massplane", "process_slics", "blend_tiles"]
 
 
 @partial(jax.jit, static_argnames=("plane_size",))
@@ -174,6 +174,38 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
     return result
 
 
+def paint_plane_seamless(painter, delta, z_slice: float,
+                         tile_size: float, delta_size: float,
+                         n_pixel_tile: int, zoom_order: int = 3,
+                         mesh=None, rng=None, z_mode: str = "sample"):
+    """Paint one high-z shell seam-free: zoom the WHOLE plane to model
+    resolution and decode it in one fully-convolutional pass
+    (parallel/spatial.paint_plane), optionally row-sharded over a mesh
+    with halo exchange.
+
+    The tile-blend path (:func:`paint_plane`) reproduces the reference's
+    overlap-tiling (process_SLICS.py:177-220); this one removes its two
+    artifacts at the source — no Gaussian-weight seams, and no per-tile
+    zoom boundary effects (the plane is resampled once, globally). Compute
+    is lower too: overlap >= 0.5 paints every pixel 2-4 times, a seamless
+    pass paints it once (plus the halo margin per device).
+
+    Outlier regularisation is tile-based and does not apply here; use the
+    tiled path when the reference's regularise flags are needed.
+    """
+    from baryon_painter_tpu.parallel import spatial
+
+    n_pixel_plane = int(delta_size / tile_size * n_pixel_tile)
+    plane = jnp.asarray(delta, jnp.float32)
+    if plane.shape != (n_pixel_plane, n_pixel_plane):
+        plane = resize_spline(plane[None],
+                              (n_pixel_plane, n_pixel_plane),
+                              order=zoom_order, mode="reflect")[0]
+    out = spatial.paint_plane(painter, plane, z_slice, mesh=mesh,
+                              rng=rng, z_mode=z_mode)
+    return np.asarray(out)
+
+
 def paint_plane_from_massplane(painter, massplane: np.ndarray,
                                shift, z_slice: float,
                                tile_size: float, delta_size: float,
@@ -215,6 +247,7 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                   massplane_size: float = slics_io.MASSPLANE_SIZE,
                   mesh=None,
                   transfer_dtype=None,
+                  seamless: bool = False,
                   ) -> List[np.ndarray]:
     """Full multi-shell pipeline; reference call contract
     (process_SLICS.py:128-226).
@@ -227,7 +260,16 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
         of the 240 MB delta planes (the dominant cost behind a
         network-attached chip); planes are promoted back to float32 on
         device before painting.
+      * ``seamless``: paint each high-z shell as ONE fully-convolutional
+        pass over the whole zoomed plane (halo-exchange sharded when a
+        mesh is given) instead of overlap-tiling + weight blending — see
+        :func:`paint_plane_seamless`. Incompatible with the tile-based
+        regularise/return_problematic_tiles options.
     """
+    if seamless and (regularise or return_problematic_tiles):
+        raise ValueError("seamless painting has no tiles to regularise; "
+                         "use the tiled path for regularise/"
+                         "return_problematic_tiles")
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
 
@@ -289,6 +331,11 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                     tile_size, delta_size[i], n_pixel_tile,
                     massplane_size=massplane_size,
                     subtract_minimum=SLICS_density))
+            elif seamless:
+                painted_planes.append(paint_plane_seamless(
+                    painter, plane, z_slice[i], tile_size, delta_size[i],
+                    n_pixel_tile, mesh=mesh,
+                    rng=jax.random.PRNGKey(1000 * LOS + i)))
             else:
                 out = paint_plane(painter, plane, z_slice[i], tile_size,
                                   delta_size[i], n_pixel_tile,

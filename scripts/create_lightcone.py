@@ -51,6 +51,13 @@ def main():
                              "fused Pallas inference kernel (CGAN: also "
                              "folds spectral norm into the weights; same "
                              "function, fewer HBM round trips)")
+    parser.add_argument("--seamless", action="store_true",
+                        help="paint each high-z shell as one fully-"
+                             "convolutional pass over the whole zoomed "
+                             "plane (halo-exchange sharded over "
+                             "--mesh-devices) instead of overlap-tiling + "
+                             "weight blending — no seams, every pixel "
+                             "painted once")
     parser.add_argument("--bf16-transfer", action="store_true",
                         help="ship SLICS planes to the device as bfloat16 "
                              "(halves H2D bytes; promoted to f32 on device)")
@@ -126,7 +133,7 @@ def main():
         shifts_path=shifts_path, z_slice=z_slice[:n_z],
         min_tiling_overlap=args.tile_overlap,
         paint_batch_size=args.paint_batch_size,
-        mesh=mesh, transfer_dtype=transfer_dtype)
+        mesh=mesh, transfer_dtype=transfer_dtype, seamless=args.seamless)
 
     res = args.output_resolution
     y_map = create_y_map(painted_planes, z_SLICS[:n_z], resolution=res,

@@ -192,3 +192,49 @@ def test_cgan_plane_paint(tmp_path):
     sharded = paint_plane(p, plane, z=1.0, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sharded), plain, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_pipeline_seamless_shell(painter, tmp_path):
+    """process_slics(seamless=True) paints a high-z shell as one
+    fully-convolutional pass: shape, finiteness, and equality with a
+    direct spatial paint of the same zoomed plane."""
+    import os
+
+    from baryon_painter_tpu.lightcone.pipeline import (paint_plane_seamless,
+                                                       process_slics)
+    from baryon_painter_tpu.ops.resample import resize_spline
+
+    p, ds = painter
+    rng = np.random.default_rng(1)
+    n_delta = 128
+    delta_path = tmp_path / "delta"
+    shifts_path = tmp_path / "shifts"
+    os.makedirs(delta_path)
+    os.makedirs(shifts_path)
+    z_shells = [0.500]
+    d = np.abs(rng.standard_normal(n_delta * n_delta)).astype(np.float32)
+    d.tofile(delta_path / f"{z_shells[0]:.3f}delta.dat_bicubic_LOS7")
+
+    planes = process_slics(
+        p, tile_size=100.0, n_pixel_tile=TILE, LOS=7,
+        z_SLICS=z_shells, delta_size=np.array([250.0]),
+        delta_path=str(delta_path), massplane_path="", shifts_path="",
+        z_slice=[0.45], verbose=False, n_pixel_delta=n_delta,
+        seamless=True)
+    n_plane = int(250.0 / 100.0 * TILE)
+    assert planes[0].shape == (n_plane, n_plane)
+    assert np.all(np.isfinite(planes[0]))
+
+    # the pipeline wrapper == zoom once + spatial paint with the same key
+    raw = np.fromfile(delta_path / f"{z_shells[0]:.3f}delta.dat_bicubic_"
+                      "LOS7", dtype=np.float32).reshape(n_delta, n_delta)
+    prep = (raw.T.astype(np.float32) + 96.0) * (12288.0 ** 2 / (3072.0 ** 3 / 2))
+    direct = paint_plane_seamless(p, prep, 0.45, 100.0, 250.0, TILE,
+                                  rng=jax.random.PRNGKey(1000 * 7 + 0))
+    np.testing.assert_allclose(planes[0], direct, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="seamless"):
+        process_slics(p, 100.0, TILE, 7, z_shells, np.array([250.0]),
+                      str(delta_path), "", "", z_slice=[0.45],
+                      verbose=False, n_pixel_delta=n_delta,
+                      seamless=True, regularise=True)
