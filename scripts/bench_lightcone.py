@@ -79,7 +79,9 @@ def main():
         epilog="Configured via environment flags (see docs/flags.md): "
                "BPT_LC_DIR (workdir), BPT_LC_SHELLS (shell count), "
                "BPT_LC_BF16=1 (bf16 plane transfer), BPT_LC_FUSED=1 "
-               "(fused Pallas painting), BPT_LC_OUT (JSON artifact path).")
+               "(fused Pallas painting), BPT_LC_SEAMLESS=1 (whole-plane "
+               "seam-free painting instead of tile blending), "
+               "BPT_LC_OUT (JSON artifact path).")
     p.parse_args()
 
     import jax
@@ -151,6 +153,8 @@ def main():
     transfer_dtype = (jax.numpy.bfloat16
                       if os.environ.get("BPT_LC_BF16") == "1" else None)
 
+    seamless = os.environ.get("BPT_LC_SEAMLESS") == "1"
+
     def run():
         planes = process_slics(
             painter, tile_size=100.0, n_pixel_tile=512, LOS=los,
@@ -159,7 +163,8 @@ def main():
             massplane_path=os.path.join(WORKDIR, "massplanes"),
             shifts_path=os.path.join(WORKDIR, "random_shifts"),
             z_slice=z_slice, min_tiling_overlap=0.2, verbose=True,
-            paint_batch_size=16, transfer_dtype=transfer_dtype)
+            paint_batch_size=16, transfer_dtype=transfer_dtype,
+            seamless=seamless)
         y = create_y_map(planes, z_arr, resolution=1549, map_size=10.0,
                          cosmo=cosmo, order=3)
         return planes, y
@@ -225,12 +230,19 @@ def main():
         origins, _ = generate_tiling(n_px, 512, min_tile_overlap=0.2)
         n_tiles = len(origins) ** 2
         plane_dev = jnp.asarray(np.zeros((n_px, n_px), np.float32))
-        paint_plane(painter, plane_dev, float(z_slice[i]), 100.0,
-                    float(delta_size[i]), 512, min_tile_overlap=0.2)
+        if seamless:
+            from baryon_painter_tpu.lightcone.pipeline import \
+                paint_plane_seamless
+            shell_paint = lambda: paint_plane_seamless(
+                painter, plane_dev, float(z_slice[i]), 100.0,
+                float(delta_size[i]), 512)
+        else:
+            shell_paint = lambda: paint_plane(
+                painter, plane_dev, float(z_slice[i]), 100.0,
+                float(delta_size[i]), 512, min_tile_overlap=0.2)
+        shell_paint()
         t0 = time.time()
-        np.asarray(paint_plane(painter, plane_dev, float(z_slice[i]), 100.0,
-                               float(delta_size[i]), 512,
-                               min_tile_overlap=0.2))
+        np.asarray(shell_paint())
         dt = time.time() - t0
         t_compute += dt
         n_tiles_total += n_tiles
@@ -263,6 +275,7 @@ def main():
             "output_resolution": 1549,
             "transfer_dtype": "bfloat16" if transfer_dtype else "float32",
             "fused_paint": os.environ.get("BPT_LC_FUSED") == "1",
+            "seamless": seamless,
             "painter": painter_src,
             "first_los_s": round(t_first, 1),
             "steady_los_s": round(t_steady, 1),
