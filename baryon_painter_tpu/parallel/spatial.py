@@ -42,7 +42,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["spec_receptive_margin", "required_halo", "latent_downsample",
-           "paint_plane"]
+           "paint_plane", "calibrate_halo"]
 
 
 # --------------------------------------------------------------------- #
@@ -331,3 +331,58 @@ def paint_plane(painter, plane, z: float, mesh: Optional[Mesh] = None,
                                                              None)))
     out = jax.jit(sharded)(variables, plane_sh, zs, eps_pad)
     return out[:H, :W]
+
+
+def calibrate_halo(painter, z: float = 0.5, tol: float = 1e-4,
+                   probe: Optional[np.ndarray] = None, rng=None) -> int:
+    """Empirically find the smallest sufficient halo for ``painter``.
+
+    :func:`required_halo` is a conservative bound (transposed-conv reach is
+    rounded up per layer); the true receptive field is often substantially
+    smaller, and the halo sets the SP overhead directly (each device pays
+    ``2*halo`` extra rows). This measures it: paint a random probe plane at
+    the analytic bound, then binary-search the smallest aligned halo whose
+    painted plane matches within ``tol`` relative error (latent noise held
+    fixed on the global grid, so the comparison isolates the halo).
+
+    Run once per architecture (CPU is fine) and pass the result as
+    ``paint_plane(..., halo=...)``. Returns a multiple of the alignment
+    granularity.
+    """
+    from baryon_painter_tpu.painter import CGANPainter
+
+    kind = "cgan" if isinstance(painter, CGANPainter) else "cvae"
+    arch = painter.architecture if kind == "cvae" else \
+        painter.meta["model_architecture"]
+    f = latent_downsample(arch)
+    h_ref = required_halo(arch, kind)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # probe rows must exceed 2*h_ref so crops at every candidate halo see
+    # genuinely different neighbourhoods
+    rows = _round_up(2 * h_ref + 4 * f, f)
+    if probe is None:
+        nprng = np.random.default_rng(0)
+        # positive, in the rough amplitude range of the training field
+        mean0 = float(np.asarray(
+            painter.stats[painter.input_field].at_z(z)[0]))
+        probe = np.abs(nprng.lognormal(0.0, 1.0, size=(rows, 2 * f))
+                       * max(abs(mean0), 1e-3))
+
+    ref = np.asarray(paint_plane(painter, probe, z, halo=h_ref, rng=rng))
+    scale = float(np.abs(ref).max()) or 1.0
+
+    def ok(h):
+        out = np.asarray(paint_plane(painter, probe, z, halo=h, rng=rng))
+        return float(np.abs(out - ref).max()) / scale <= tol
+
+    lo, hi = 0, h_ref // f  # in units of f; lo is exclusive-unverified
+    # standard binary search for the smallest sufficient multiple of f
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if ok(mid * f):
+            hi = mid
+        else:
+            lo = mid
+    return hi * f

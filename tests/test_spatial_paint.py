@@ -238,3 +238,21 @@ def test_pipeline_seamless_shell(painter, tmp_path):
                       str(delta_path), "", "", z_slice=[0.45],
                       verbose=False, n_pixel_delta=n_delta,
                       seamless=True, regularise=True)
+
+
+def test_calibrate_halo(painter):
+    """The empirical halo is <= the analytic bound, aligned, and painting
+    with it matches the analytic-bound paint on a fresh plane."""
+    from baryon_painter_tpu.parallel.spatial import calibrate_halo
+
+    p, ds = painter
+    h_ref = required_halo(p.architecture, "cvae")
+    h_cal = calibrate_halo(p, z=0.5)
+    f = latent_downsample(p.architecture)
+    assert h_cal % f == 0 and 0 < h_cal <= h_ref
+
+    plane = _plane(ds, rows=160, cols=96, seed=13)
+    rng = jax.random.PRNGKey(3)
+    a = np.asarray(paint_plane(p, plane, z=0.5, halo=h_cal, rng=rng))
+    b = np.asarray(paint_plane(p, plane, z=0.5, halo=h_ref, rng=rng))
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
