@@ -29,6 +29,10 @@ from baryon_painter_tpu.transforms import RangeCompress
 
 TILE = 64
 
+# quick-tier exclusion: multi-device paints compile several shard_map
+# graphs (run with the full suite, like test_sharded_paint.py)
+pytestmark = pytest.mark.slow
+
 
 def mini_cvae_arch(tile=TILE):
     """A small fully-conv CVAE (latent grid /4) so halos stay test-sized;
