@@ -90,6 +90,12 @@ class CGANTrainConfig:
     # generator, where a live discriminator would keep pulling G toward
     # hallucinated high-k power the P(k) objective must then undo.
     adversarial_weight: float = 1.0
+    # Pin the GENERATOR's BN running statistics during adv-ON fine-tunes
+    # (calibration mode freezes them implicitly): the P(k) gate paints
+    # through eval-mode BN, and momentum-0.9 running-stat drift moves the
+    # gate metric even at lr -> 0 (TrainConfig.freeze_bn_stats rationale).
+    # Discriminator stats keep updating - the gate never paints with D.
+    freeze_bn_stats: bool = False
 
 
 class CGANTrainer:
@@ -294,7 +300,10 @@ class CGANTrainer:
                                        jax.tree.map(lambda u: lr * u, g_dir))
 
         new_state = GANTrainState(
-            g_params=g_params, g_stats=g_mut["batch_stats"], g_opt=g_opt,
+            g_params=g_params,
+            g_stats=(state.g_stats if self.config.freeze_bn_stats
+                     else g_mut["batch_stats"]),
+            g_opt=g_opt,
             d_params=d_params, d_stats=d_stats, d_opt=d_opt,
             step=state.step + 1)
         metrics = {"loss_D": d_loss, "loss_G_adv": g_adv, "pk_loss": g_pk,

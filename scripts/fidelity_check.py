@@ -283,7 +283,8 @@ def main():
                                   pk_loss_weight=args.pk_loss_weight,
                                   pk_loss_per_z=args.pk_loss_weight > 0,
                                   adversarial_weight=args.adv_weight,
-                                  lambda_perceptual=args.perc_weight),
+                                  lambda_perceptual=args.perc_weight,
+                                  freeze_bn_stats=args.freeze_bn),
                               device_data=True)
         make_painter = lambda dtype="keep": CGANPainter.from_trainer(
             trainer, dtype=dtype)

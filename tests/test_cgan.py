@@ -479,3 +479,23 @@ def test_cgan_paints_through_lightcone_pipeline(trainer):
     assert out.shape == (plane_px, plane_px)
     assert np.all(np.isfinite(out))
     assert out.std() > 0  # painted structure, not a constant fill
+
+
+def test_freeze_bn_stats_adv_on(dataset):
+    """freeze_bn_stats pins G running stats in adversarial mode (the gate
+    paints through eval-mode BN; see TrainConfig.freeze_bn_stats)."""
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2,
+                                            freeze_bn_stats=True))
+    batch = dataset.get_raw_batch(np.arange(2))
+    g0 = jax.device_get(tr.state.g_params)
+    s0 = jax.device_get(tr.state.g_stats)
+    tr.step(batch, lr=5e-5)
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_params, g0)))
+    frozen = (max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.g_stats, s0))) if jax.tree.leaves(tr.state.g_stats) else 0.0)
+    assert moved > 0 and frozen == 0.0
