@@ -198,9 +198,15 @@ def paint_plane_seamless(painter, delta, z_slice: float,
     n_pixel_plane = int(delta_size / tile_size * n_pixel_tile)
     plane = jnp.asarray(delta, jnp.float32)
     if plane.shape != (n_pixel_plane, n_pixel_plane):
+        # periodic resampling (ops/resample mode='wrap' == scipy
+        # grid-wrap/grid_mode=True): the plane is a slice of a periodic
+        # box, and the subsequent spatial paint applies periodic-wrap
+        # boundaries at the same edges — reflect would mirror a band of
+        # ~spline-support pixels at each edge and then paint it as if
+        # periodic
         plane = resize_spline(plane[None],
                               (n_pixel_plane, n_pixel_plane),
-                              order=zoom_order, mode="reflect")[0]
+                              order=zoom_order, mode="wrap")[0]
     out = spatial.paint_plane(painter, plane, z_slice, mesh=mesh,
                               rng=rng, z_mode=z_mode)
     return np.asarray(out)

@@ -38,12 +38,15 @@ _POLES = {
 
 
 def _extend(x, mode):
-    """Mirror/reflect-extend the last axis into one full period."""
+    """Extend the last axis into one full period of the boundary mode."""
     if mode == "mirror":  # period 2N-2: [x0..xN-1, xN-2..x1]
         return jnp.concatenate([x, x[..., -2:0:-1]], axis=-1)
     if mode == "reflect":  # period 2N: [x0..xN-1, xN-1..x0]
         return jnp.concatenate([x, x[..., ::-1]], axis=-1)
-    raise ValueError(f"mode '{mode}' not supported (use 'mirror' or 'reflect').")
+    if mode == "wrap":  # genuinely periodic: period N is the signal itself
+        return x
+    raise ValueError(f"mode '{mode}' not supported "
+                     "(use 'mirror', 'reflect' or 'wrap').")
 
 
 # Discrete B-spline kernels b[k] = B_order(k) (the values the prefilter must
@@ -110,9 +113,12 @@ def _spline_filter_fir(x, order: int, mode: str):
         p = 2 * n
         m = raw % p
         idx = np.where(m < n, m, p - 1 - m)
+    elif mode == "wrap":
+        idx = raw % n
     else:
         raise ValueError(
-            f"mode '{mode}' not supported (use 'mirror' or 'reflect').")
+            f"mode '{mode}' not supported "
+            "(use 'mirror', 'reflect' or 'wrap').")
     xp = x.astype(jnp.float32)[..., idx]
     lead = xp.shape[:-1]
     flat = xp.reshape((-1, 1, n + 2 * K))
@@ -213,6 +219,8 @@ def _map_indices(idx, n: int, mode: str):
         m = idx % p
         m = jnp.where(m < 0, m + p, m)
         return jnp.where(m < n, m, p - 1 - m)
+    if mode == "wrap":
+        return idx % n  # jnp % is non-negative for n > 0
     raise ValueError(mode)
 
 
@@ -220,19 +228,27 @@ def _resample_axis(c, out_n: int, order: int, mode: str, axis: int):
     """Evaluate the spline (coefficients c) at zoom coordinates along axis."""
     c = jnp.moveaxis(c, axis, -1)
     n = c.shape[-1]
-    if out_n > 1 and n > 1:
-        scale = (n - 1) / (out_n - 1)
-    else:
-        scale = 0.0
     # Coordinates are static — compute them host-side in FLOAT64 like scipy
     # does: f32 coordinate roundoff flips nearest-neighbour picks (an f32
     # product can land exactly on .5 where the f64 value is just below) and
     # skews spline fractions near exact knots.
-    coords64 = np.arange(out_n, dtype=np.float64) * scale
-    base64 = np.floor(coords64).astype(np.int64)
-    # keep base such that frac in [0,1); at the exact right edge clamp
-    if order >= 1:
-        base64 = np.clip(base64, 0, max(n - 2, 0))
+    if mode == "wrap":
+        # periodic resampling: cell-centered map, scipy's grid_mode=True
+        # ('grid-wrap'): in = (out + 0.5) * n/out_n - 0.5. The period maps
+        # exactly, so there is no edge clamp and indices wrap.
+        coords64 = ((np.arange(out_n, dtype=np.float64) + 0.5)
+                    * (n / out_n) - 0.5)
+        base64 = np.floor(coords64).astype(np.int64)
+    else:
+        if out_n > 1 and n > 1:
+            scale = (n - 1) / (out_n - 1)
+        else:
+            scale = 0.0
+        coords64 = np.arange(out_n, dtype=np.float64) * scale
+        base64 = np.floor(coords64).astype(np.int64)
+        # keep base such that frac in [0,1); at the exact right edge clamp
+        if order >= 1:
+            base64 = np.clip(base64, 0, max(n - 2, 0))
     base = jnp.asarray(base64, jnp.int32)
     t = jnp.asarray(coords64 - base64, c.dtype)
     w = _bspline_weights(t, order)  # (out_n, taps)

@@ -54,17 +54,21 @@ def spec_receptive_margin(spec, f: float = 1.0):
 
     Walks a ``SpecSequential`` layer-spec list tracking ``f``, the input-
     pixel footprint of one feature at the current layer's input, and
-    accumulates each layer's half-kernel reach in input pixels:
+    accumulates each layer's one-sided reach in input pixels. A conv
+    output at position ``o`` reads inputs ``[o*s - p, o*s - p + k - 1]``,
+    so its one-sided reach is ``max(p, k - 1 - p)`` — NOT ``k // 2``: the
+    DSL's scale-4 convs are even-kernel asymmetric (k=8, p=2, reach 5).
 
-      * conv k, stride s:        margin += (k // 2) * f;  f *= s
-      * transp conv k, stride s: margin += ceil(k / s) * f;  f /= s
-      * upsample nearest s:      f /= s
-      * residual block:          margin += margin(inner)  (stride-1)
+      * conv k, s, p:        margin += max(p, k-1-p) * f;        f *= s
+      * transp conv k, s, p: margin += ceil(max(p, k-1-p)/s) * f; f /= s
+      * upsample nearest s:  f /= s   (output reads floor(o/s): no reach)
+      * residual block:      margin += margin(inner)  (stride-1)
       * batchnorm (eval) / activations: pointwise
 
-    Returns ``(margin_in_input_pixels, f_out)``. The bound is slightly
-    conservative for transposed convs; tests pin sufficiency by comparing
-    paints at ``halo`` and ``2 * halo`` (tests/test_spatial_paint.py).
+    Returns ``(margin_in_input_pixels, f_out)``. The bound can still be
+    loose in aggregate (padding truncation per layer); tests pin
+    sufficiency by comparing paints at ``halo`` and ``2 * halo``, and
+    :func:`calibrate_halo` measures the tight value per checkpoint.
     """
     margin = 0.0
     if spec is None:
@@ -76,12 +80,14 @@ def spec_receptive_margin(spec, f: float = 1.0):
         if lname == "conv":
             k = config["kernel_size"]
             s = config.get("stride", 1)
-            margin += (k // 2) * f
+            p = config.get("padding", (k - 1) // 2)
+            margin += max(p, k - 1 - p) * f
             f *= s
         elif lname == "transp conv":
             k = config["kernel_size"]
             s = config.get("stride", 1)
-            margin += math.ceil(k / s) * f
+            p = config.get("padding", (k - 1) // 2)
+            margin += math.ceil(max(p, k - 1 - p) / s) * f
             f /= s
         elif lname == "upsample nearest":
             f /= config["scale"]
@@ -122,16 +128,20 @@ def required_halo(architecture: dict, model_kind: str = "cvae") -> int:
     """One-sided input halo (pixels) for seam-free painting, rounded up to
     the alignment granularity of :func:`latent_downsample`."""
     if model_kind == "cvae":
-        # longest path: y -> prior -> z -> p_z_in -> p_y_z_in -> out head.
-        # Sequential composition of the walks bounds both the z path and
-        # the direct y branch into p_y_z_in.
-        m = 0.0
+        # two branches feed the decoder trunk p_y_z_in at full resolution:
+        #   z branch: y -> prior_z_y -> z -> p_z_in
+        #   y branch: y -> p_y_in (identity when None)
+        # total reach = max(branch margins) + trunk + worst output head.
+        m_z = 0.0
         f = 1.0
-        for key in ("prior_z_y", "p_z_in", "p_y_z_in"):
+        for key in ("prior_z_y", "p_z_in"):
             dm, f = spec_receptive_margin(architecture.get(key), f)
-            m += dm
+            m_z += dm
+        m_y, _ = spec_receptive_margin(architecture.get("p_y_in"), 1.0)
+        m, f_t = spec_receptive_margin(architecture.get("p_y_z_in"), 1.0)
+        m += max(m_z, m_y)
         heads = architecture["p_y_z_out"]
-        m += max(spec_receptive_margin(h, f)[0] for h in heads)
+        m += max(spec_receptive_margin(h, f_t)[0] for h in heads)
     elif model_kind == "cgan":
         from baryon_painter_tpu.models.cgan import cgan_generator_spec
         body, head = cgan_generator_spec(
@@ -165,7 +175,8 @@ def _cvae_slab_fn(painter, z_mode: str, transform: bool,
         y = slab[None]  # (1, H, W)
         if transform:
             y = in_tf.forward(y, in_stats, zs)
-        y = y[..., None]  # NHWC
+        # split-scale transforms emit (N, C, H, W); mirror painter._paint
+        y = y[..., None] if y.ndim == 3 else jnp.moveaxis(y, -3, -1)
         z_mu, z_log_var = model.apply(variables, y, zs, train=False,
                                       method=model.prior)
         if z_mode == "mean":
@@ -179,7 +190,10 @@ def _cvae_slab_fn(painter, z_mode: str, transform: bool,
             raise ValueError(f"Unknown z_mode {z_mode!r}")
         pred = model.apply(variables, y, zs, z=z_latent, train=False,
                            method=model.sample_P)
-        pred = pred[..., 0]  # (1, H, W) — single output field
+        if pred.shape[-1] != 1:
+            raise ValueError("paint_plane supports single-channel output "
+                             f"fields; model emitted {pred.shape[-1]}")
+        pred = pred[..., 0]  # (1, H, W)
         if inverse_transform:
             pred = out_tf.inverse(pred, out_stats, zs)
         return pred[0]
@@ -188,22 +202,14 @@ def _cvae_slab_fn(painter, z_mode: str, transform: bool,
 
 
 def _cgan_slab_fn(painter, transform: bool, inverse_transform: bool):
-    gen = painter.generator
-    in_tf = painter.transforms[painter.input_field]
-    in_stats = painter.stats[painter.input_field]
-    out_field = painter.label_fields[0]
-    out_tf = painter.transforms[out_field]
-    out_stats = painter.stats[out_field]
-
+    # the painter's own jitted paint fn (transform -> generator -> inverse)
+    # IS the slab computation — reuse it rather than re-implementing the
+    # channel/transform conventions (jit-in-jit inlines)
     def fn(variables, slab, zs, eps):
         del eps
-        y = slab[None]
-        if transform:
-            y = in_tf.forward(y, in_stats, zs)
-        pred = gen.apply(variables, y[..., None], zs, train=False)[..., 0]
-        if inverse_transform:
-            pred = out_tf.inverse(pred, out_stats, zs)
-        return pred[0]
+        return painter._paint_fn(variables, slab[None], zs,
+                                 transform=transform,
+                                 inverse_transform=inverse_transform)[0]
 
     return fn
 
@@ -265,72 +271,122 @@ def paint_plane(painter, plane, z: float, mesh: Optional[Mesh] = None,
     else:
         n = 1
 
-    # pad to shardable multiples with periodic wrap
-    Hp = _round_up(H, n * f)
-    Wp = _round_up(W, f)
-    if (Hp, Wp) != (H, W):
-        plane = jnp.pad(plane, ((0, Hp - H), (0, Wp - W)), mode="wrap")
-    if n > 1 and halo > Hp // n:
-        raise ValueError(
-            f"halo {halo} exceeds the per-device slab height {Hp // n}; "
-            f"use fewer devices along {axis_name!r} or a larger plane")
+    # Canonical boundary period: the conv-stride lattice must be
+    # commensurate with the wrap period, so the plane is treated as
+    # (Q, Wq)-periodic with Q = round_up(H, f) — INDEPENDENT of the device
+    # count, so sharded and unsharded paints agree for every plane size
+    # and mesh. When f | H this is the plane's true period; otherwise no
+    # exact periodic semantics exist on the lattice and the wrapped row
+    # band is the (documented) boundary treatment.
+    Q = _round_up(H, f)
+    Wq = _round_up(W, f)
+    if (Q, Wq) != (H, W):
+        plane = jnp.pad(plane, ((0, Q - H), (0, Wq - W)), mode="wrap")
 
     zs = jnp.full((1,), float(z), jnp.float32)
     hf = halo // f
     cz = int(arch["dim_z"][0]) if kind == "cvae" else 0
 
-    eps_pad = None
+    eps = None
     if kind == "cvae" and z_mode == "sample":
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        eps = jax.random.normal(rng, (Hp // f, Wp // f, cz), jnp.float32)
-        eps_pad = jnp.pad(eps, ((hf, hf), (hf, hf), (0, 0)), mode="wrap")
-
-    # columns wrap once, outside the sharded region (W is not sharded)
-    plane_w = jnp.pad(plane, ((0, 0), (halo, halo)), mode="wrap")
+        eps = jax.random.normal(rng, (Q // f, Wq // f, cz), jnp.float32)
 
     slab_fn = (_cvae_slab_fn(painter, z_mode, transform, inverse_transform)
                if kind == "cvae"
                else _cgan_slab_fn(painter, transform, inverse_transform))
 
+    def periodic_extend(x, pad_r, pad_c):
+        # mod-index gather instead of jnp.pad(mode="wrap"): valid even when
+        # the pad exceeds the array (tiny planes with big halos)
+        r = jnp.arange(-pad_r, x.shape[0] + pad_r) % x.shape[0]
+        c = jnp.arange(-pad_c, x.shape[1] + pad_c) % x.shape[1]
+        return x[r[:, None], c[None, :]]
+
     if mesh is None:
-        ext = jnp.pad(plane_w, ((halo, halo), (0, 0)), mode="wrap")
-        eps_arg = eps_pad
+        ext = periodic_extend(plane, halo, halo)
+        eps_arg = periodic_extend(eps, hf, hf) if eps is not None else None
         out = jax.jit(slab_fn)(painter.variables, ext, zs, eps_arg)
         return out[halo:-halo, halo:-halo][:H, :W]
 
-    from jax import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # jax < 0.8
+        from jax.experimental.shard_map import shard_map
 
-    Hl = Hp // n
-    perm_down = [(j, (j + 1) % n) for j in range(n)]  # j's bottom -> j+1 top
-    perm_up = [(j, (j - 1) % n) for j in range(n)]    # j's top -> j-1 bottom
+    variables = jax.device_put(painter.variables, NamedSharding(mesh, P()))
+    use_eps = eps is not None
 
-    use_eps = eps_pad is not None
-    if not use_eps:  # dummy replicated operand (shard_map wants arrays)
-        eps_pad = jnp.zeros((1, 1, 1), jnp.float32)
+    if Q % (n * f) == 0 and halo <= Q // n:
+        # Fast path: equal slabs; halos ride ICI via a ppermute ring
+        # (ring = the canonical Q-periodic boundary).
+        Hl = Q // n
+        perm_down = [(j, (j + 1) % n) for j in range(n)]  # bottoms -> tops
+        perm_up = [(j, (j - 1) % n) for j in range(n)]    # tops -> bottoms
+        plane_w = periodic_extend(plane, 0, halo)
+        eps_pad = (periodic_extend(eps, hf, hf) if use_eps
+                   else jnp.zeros((1, 1, 1), jnp.float32))
 
-    def body(variables, slab, zs_, eps_pad_):
-        i = lax.axis_index(axis_name)
-        top = lax.ppermute(slab[-halo:], axis_name, perm_down)
-        bot = lax.ppermute(slab[:halo], axis_name, perm_up)
-        ext = jnp.concatenate([top, slab, bot], axis=0)
-        eps_slab = None
-        if use_eps:
-            eps_slab = lax.dynamic_slice(
-                eps_pad_, (i * (Hl // f), 0, 0),
-                (Hl // f + 2 * hf, eps_pad_.shape[1], cz))
-        out = slab_fn(variables, ext, zs_, eps_slab)
-        return out[halo:-halo, halo:-halo]
+        def body(variables, slab, zs_, eps_pad_):
+            i = lax.axis_index(axis_name)
+            top = lax.ppermute(slab[-halo:], axis_name, perm_down)
+            bot = lax.ppermute(slab[:halo], axis_name, perm_up)
+            ext = jnp.concatenate([top, slab, bot], axis=0)
+            eps_slab = None
+            if use_eps:
+                eps_slab = lax.dynamic_slice(
+                    eps_pad_, (i * (Hl // f), 0, 0),
+                    (Hl // f + 2 * hf, eps_pad_.shape[1], cz))
+            out = slab_fn(variables, ext, zs_, eps_slab)
+            return out[halo:-halo, halo:-halo]
+
+        sharded = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axis_name, None), P(), P()),
+            out_specs=P(axis_name, None))
+        plane_sh = jax.device_put(plane_w,
+                                  NamedSharding(mesh, P(axis_name, None)))
+        out = jax.jit(sharded)(variables, plane_sh, zs, eps_pad)
+        return out[:H, :W]
+
+    # General path: Q doesn't split into n aligned slabs (or the halo
+    # exceeds one slab). Gather halo-extended slabs from the Q-periodic
+    # plane by mod indexing — each device gets its overlapping slab
+    # directly; the tail slab wraps and its duplicate rows fall off the
+    # final crop. No constraint ties halo to the slab height here.
+    Hl = _round_up(-(-Q // n), f)  # ceil(Q/n) rounded up to the lattice
+    row_idx = (np.arange(n)[:, None] * Hl
+               + np.arange(-halo, Hl + halo)[None, :]) % Q
+    col_idx = np.arange(-halo, Wq + halo) % Wq
+    ext_slabs = plane[jnp.asarray(row_idx)[:, :, None],
+                      jnp.asarray(col_idx)[None, None, :]]
+    if use_eps:
+        zrow = (np.arange(n)[:, None] * (Hl // f)
+                + np.arange(-hf, Hl // f + hf)[None, :]) % (Q // f)
+        zcol = np.arange(-hf, Wq // f + hf) % (Wq // f)
+        eps_slabs = eps[jnp.asarray(zrow)[:, :, None],
+                        jnp.asarray(zcol)[None, None, :]]
+    else:
+        eps_slabs = jnp.zeros((n, 1, 1, 1), jnp.float32)
+
+    def body_gather(variables, ext, zs_, eps_slab):
+        out = slab_fn(variables, ext[0],
+                      zs_, eps_slab[0] if use_eps else None)
+        return out[None, halo:-halo, halo:-halo]
 
     sharded = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(axis_name, None), P(), P()),
-        out_specs=P(axis_name, None))
-    variables = jax.device_put(painter.variables, NamedSharding(mesh, P()))
-    plane_sh = jax.device_put(plane_w, NamedSharding(mesh, P(axis_name,
-                                                             None)))
-    out = jax.jit(sharded)(variables, plane_sh, zs, eps_pad)
-    return out[:H, :W]
+        body_gather, mesh=mesh,
+        in_specs=(P(), P(axis_name, None, None), P(),
+                  P(axis_name, None, None, None)),
+        out_specs=P(axis_name, None, None))
+    slabs_sh = jax.device_put(ext_slabs,
+                              NamedSharding(mesh, P(axis_name, None, None)))
+    eps_sh = jax.device_put(eps_slabs,
+                            NamedSharding(mesh,
+                                          P(axis_name, None, None, None)))
+    out = jax.jit(sharded)(variables, slabs_sh, zs, eps_sh)
+    return out.reshape(n * Hl, Wq)[:H, :W]
 
 
 def calibrate_halo(painter, z: float = 0.5, tol: float = 1e-4,

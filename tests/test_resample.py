@@ -93,3 +93,39 @@ def test_lightcone_shapes():
     out = zoom(x, 512 / 800, order=3, mode="reflect")
     assert out.shape == (512, 512)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("order", [3, 5])
+def test_prefilter_wrap_matches_scipy(rng, order):
+    x = rng.standard_normal(37).astype(np.float32)
+    got = np.asarray(spline_filter_1d(jnp.asarray(x), order, "wrap"))
+    want = spline_filter1d(x.astype(np.float64), order=order,
+                           mode="grid-wrap")
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [0, 1, 3, 5])
+@pytest.mark.parametrize("zf", [0.4, 1.0, 1.7, 2.0])
+def test_zoom_wrap_matches_scipy_grid_wrap(rng, order, zf):
+    """mode='wrap' == scipy grid_mode=True / 'grid-wrap': the periodic
+    resampling the seamless lightcone path uses for whole planes."""
+    x = rng.standard_normal((24, 30)).astype(np.float32)
+    got = np.asarray(zoom(jnp.asarray(x), zf, order=order, mode="wrap"))
+    want = scipy_zoom(x.astype(np.float64), zoom=zf, order=order,
+                      mode="grid-wrap", grid_mode=True)
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_zoom_wrap_is_shift_equivariant(rng):
+    """The seam-free property: circularly shifting the input by k pixels
+    shifts the wrap-zoomed output by exactly k * zf pixels — impossible
+    with mirror/reflect, whose boundary bands depend on edge position."""
+    x = rng.standard_normal((16, 20)).astype(np.float32)
+    zf = 2.0
+    a = np.asarray(zoom(jnp.asarray(x), zf, order=3, mode="wrap"))
+    b = np.asarray(zoom(jnp.asarray(np.roll(x, (3, 5), (0, 1))), zf,
+                        order=3, mode="wrap"))
+    np.testing.assert_allclose(np.roll(a, (6, 10), (0, 1)), b,
+                               rtol=1e-5, atol=1e-5)

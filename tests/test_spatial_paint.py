@@ -107,6 +107,27 @@ def test_margin_walk_rejects_non_conv():
         spec_receptive_margin((("linear", {"out_features": 4}),))
 
 
+def test_margin_walk_even_kernel_asymmetry():
+    """Even-kernel strided convs reach max(p, k-1-p) = 5 for (k=8, p=2),
+    not k//2 = 4 — the DSL's scale-4 convs are asymmetric."""
+    m, f = spec_receptive_margin(dsl.conv_block(1, 8, scale=4))
+    assert f == 4 and m == 5
+    m2, f2 = spec_receptive_margin(dsl.conv_block(1, 8, scale=2))
+    assert f2 == 2 and m2 == 2  # k=4, p=1: max(1, 2) = 2
+
+
+def test_required_halo_counts_p_y_in_branch():
+    """A convolutional p_y_in (first-class DSL key) must widen the halo
+    when its reach exceeds the prior+p_z_in branch."""
+    arch = mini_cvae_arch()
+    h0 = required_halo(arch, "cvae")
+    wide = dict(arch)
+    # huge direct-y branch: reach 60 >> the z branch's
+    wide["p_y_in"] = dsl.conv_block(1, 1, kernel=121, batchnorm=False,
+                                    activation=None)
+    assert required_halo(wide, "cvae") > h0
+
+
 def test_halo_sufficiency(painter):
     """Doubling the computed halo must not change the painted plane —
     i.e. the receptive-field bound really covers the network."""
@@ -143,25 +164,36 @@ def test_sharded_equals_unsharded_mean_mode(painter):
                                atol=1e-6)
 
 
-def test_non_multiple_plane_shape(painter):
-    """Planes that don't divide by n_devices * f are wrap-padded and
-    cropped back — output shape equals input shape."""
+def test_non_multiple_plane_sharded_equals_unsharded(painter):
+    """Plane sizes that don't divide into n aligned slabs take the
+    gathered-overlap path; the boundary period Q = round_up(H, f) is
+    device-count independent, so sharded == unsharded EXACTLY even here
+    (the production SLICS shells are this case: 2585 px at model
+    resolution)."""
     p, ds = painter
     plane = _plane(ds, rows=150, cols=91)
-    mesh = data_parallel_mesh(2, axis_name="sp")
-    out = paint_plane(p, plane, z=0.5, mesh=mesh,
-                      rng=jax.random.PRNGKey(0))
-    assert out.shape == (150, 91)
-    assert np.all(np.isfinite(np.asarray(out)))
+    rng = jax.random.PRNGKey(0)
+    plain = np.asarray(paint_plane(p, plane, z=0.5, rng=rng))
+    for n_dev in (2, 8):
+        mesh = data_parallel_mesh(n_dev, axis_name="sp")
+        out = paint_plane(p, plane, z=0.5, mesh=mesh, rng=rng)
+        assert out.shape == (150, 91)
+        np.testing.assert_allclose(np.asarray(out), plain, rtol=1e-5,
+                                   atol=1e-6)
 
 
-def test_halo_exceeding_slab_raises(painter):
+def test_halo_exceeding_slab_uses_gathered_path(painter):
+    """A halo larger than the per-device slab cannot ride the one-hop
+    ppermute ring; the gathered path handles it (and stays equal to the
+    unsharded paint)."""
     p, ds = painter
     plane = _plane(ds, rows=96, cols=96)
+    rng = jax.random.PRNGKey(0)
+    plain = np.asarray(paint_plane(p, plane, z=0.5, halo=64, rng=rng))
     mesh = data_parallel_mesh(8, axis_name="sp")
-    with pytest.raises(ValueError, match="slab height"):
-        paint_plane(p, plane, z=0.5, mesh=mesh, halo=64,
-                    rng=jax.random.PRNGKey(0))
+    out = paint_plane(p, plane, z=0.5, mesh=mesh, halo=64, rng=rng)
+    np.testing.assert_allclose(np.asarray(out), plain, rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_cgan_plane_paint(tmp_path):
