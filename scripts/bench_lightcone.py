@@ -220,7 +220,14 @@ def main():
 
     t_compute = 0.0
     n_tiles_total = 0
+    px_total = 0
     per_shell = []
+    # Per-shell device compute from the NATIVE-resolution plane (7745^2
+    # delta already in HBM) so both modes pay their real native->model
+    # resampling: the tiled path zooms per extracted tile, the seamless
+    # path zooms the whole plane once. A model-resolution probe would
+    # flatter seamless (its zoom would no-op) and undercount tiled.
+    plane_native = jnp.asarray(np.zeros((plane_px, plane_px), np.float32))
     for i, z in enumerate(z_arr):
         if delta_size[i] < 100.0:
             per_shell.append({"z": float(z), "kind": "massplane",
@@ -229,31 +236,42 @@ def main():
         n_px = int(delta_size[i] / 100.0 * 512)
         origins, _ = generate_tiling(n_px, 512, min_tile_overlap=0.2)
         n_tiles = len(origins) ** 2
-        plane_dev = jnp.asarray(np.zeros((n_px, n_px), np.float32))
         if seamless:
             from baryon_painter_tpu.lightcone.pipeline import \
                 paint_plane_seamless
             shell_paint = lambda: paint_plane_seamless(
-                painter, plane_dev, float(z_slice[i]), 100.0,
+                painter, plane_native, float(z_slice[i]), 100.0,
                 float(delta_size[i]), 512)
         else:
             shell_paint = lambda: paint_plane(
-                painter, plane_dev, float(z_slice[i]), 100.0,
+                painter, plane_native, float(z_slice[i]), 100.0,
                 float(delta_size[i]), 512, min_tile_overlap=0.2)
         shell_paint()
         t0 = time.time()
         np.asarray(shell_paint())
         dt = time.time() - t0
         t_compute += dt
-        n_tiles_total += n_tiles
-        per_shell.append({"z": float(z), "kind": "delta",
-                          "n_pixel_plane": n_px, "n_tiles": n_tiles,
-                          "device_ms": round(dt * 1e3, 1)})
+        px_total += n_px * n_px
+        rec = {"z": float(z), "kind": "delta", "n_pixel_plane": n_px,
+               "device_ms": round(dt * 1e3, 1)}
+        if not seamless:  # seamless paints planes, not tiles
+            n_tiles_total += n_tiles
+            rec["n_tiles"] = n_tiles
+        per_shell.append(rec)
     n_hi = int(np.sum(delta_size >= 100.0))
+    mpix_per_sec = px_total / t_compute / 1e6 if t_compute else 0.0
     # BASELINE.md headline metric: 512^2 tiles painted / sec / chip
-    tiles_per_sec = n_tiles_total / t_compute if t_compute else 0.0
-    print(f"painted {n_tiles_total} 512^2 tiles in {t_compute:.2f}s device "
-          f"compute = {tiles_per_sec:.1f} tiles/s/chip", flush=True)
+    # (tile-blend mode only; seamless paints whole planes)
+    tiles_per_sec = (n_tiles_total / t_compute
+                     if t_compute and not seamless else None)
+    if seamless:
+        print(f"painted {px_total / 1e6:.1f} Mpix seam-free in "
+              f"{t_compute:.2f}s device compute = {mpix_per_sec:.1f} "
+              f"Mpix/s/chip", flush=True)
+    else:
+        print(f"painted {n_tiles_total} 512^2 tiles in {t_compute:.2f}s "
+              f"device compute = {tiles_per_sec:.1f} tiles/s/chip",
+              flush=True)
     per_shell_io_v5e8 = plane_bytes / 2e9 + plane_bytes / 10e9  # NVMe + PCIe
     modeled = sum(max(per_shell_io_v5e8, (t_compute / n_hi) / 8)
                   for _ in range(n_hi)) + 2.0  # +2s massplane shells / misc
@@ -282,8 +300,11 @@ def main():
             "per_shell": per_shell,
             "per_shell_compute_mean_s": (round(t_compute / n_hi, 3)
                                          if n_hi else None),
-            "tiles_painted": n_tiles_total,
-            "tiles_per_sec_per_chip": round(tiles_per_sec, 2),
+            "tiles_painted": n_tiles_total if not seamless else None,
+            "tiles_per_sec_per_chip": (round(tiles_per_sec, 2)
+                                       if tiles_per_sec is not None
+                                       else None),
+            "mpix_per_sec_per_chip": round(mpix_per_sec, 2),
             "tunnel_h2d_per_plane_s": round(t_h2d_here, 3),
             "ymap_pseudo_cl": {
                 "l_eff": [None if np.isnan(v) else round(float(v), 1)
