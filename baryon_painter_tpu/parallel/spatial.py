@@ -237,9 +237,12 @@ def paint_plane(painter, plane, z: float, mesh: Optional[Mesh] = None,
         (ops/resample.zoom, as the lightcone pipeline does for tiles).
     z : scalar redshift for the whole plane (one lightcone shell).
     mesh : optional 1-D ``jax.sharding.Mesh``; rows are sharded over
-        ``axis_name`` (default: the mesh's first axis) and halos are
-        exchanged with ``lax.ppermute`` over ICI. ``None`` paints
-        unsharded with identical periodic-wrap semantics.
+        ``axis_name`` (default: the mesh's first axis). When the periodic
+        height splits into n aligned slabs and the halo fits one slab,
+        halos ride ICI via a ``lax.ppermute`` ring; otherwise halo-extended
+        slabs are gathered from the periodic plane by mod indexing (same
+        result, no ring constraint). ``None`` paints unsharded with
+        identical periodic-wrap semantics — all three paths agree exactly.
     halo : one-sided receptive-field margin in pixels; default
         :func:`required_halo` of the painter's architecture.
     z_mode : 'sample' (prior sample, reference behavior) | 'mean' | 'zero'.
