@@ -151,7 +151,11 @@ def main():
     # the production paint_batch path. Tiles are staged in HBM first so the
     # number measures the chip, not the (possibly tunneled) host link.
     from baryon_painter_tpu.painter import CVAEPainter
-    painter = CVAEPainter.from_trainer(trainer)
+    # fused Pallas residual blocks are the production painting path
+    # (models/fuse.py; bit-equal tiles, flag-gated XLA fallback off-TPU);
+    # BPT_BENCH_PAINT_FUSED=0 measures the plain path instead
+    paint_fused = os.environ.get("BPT_BENCH_PAINT_FUSED", "1") == "1"
+    painter = CVAEPainter.from_trainer(trainer, fused_inference=paint_fused)
     pb = int(os.environ.get("BPT_BENCH_PAINT_BATCH", str(batch)))
     raw = ds.get_raw_batch(ds.sample_indices(rng, pb))
     dm = jax.device_put(jax.numpy.asarray(raw["input"], jax.numpy.float32))
@@ -168,7 +172,7 @@ def main():
     float(out.sum())
     paint_tps = n_pd * pb / (time.time() - t0)
     log(f"paint: {paint_tps:.1f} tiles/s/chip ({tile}^2, batch {pb}, "
-        f"{n_pd} dispatches)")
+        f"{n_pd} dispatches, fused={paint_fused})")
 
     # FLOPs + MFU so perf regressions are visible, not just samples/s.
     # XLA cost_analysis counts a scan/while BODY once regardless of trip
@@ -209,6 +213,7 @@ def main():
                            else round(bytes_per_step / 1e9, 2) * 1e9),
         "achieved_bw_frac": None if np.isnan(bw_frac) else round(bw_frac, 3),
         "paint_tiles_per_sec": round(paint_tps, 1),
+        "paint_fused": paint_fused,
     }))
 
 
