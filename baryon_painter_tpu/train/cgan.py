@@ -29,6 +29,7 @@ from baryon_painter_tpu.data.dataset import BahamasTileDataset
 from baryon_painter_tpu.models.cgan import CGANDiscriminator, CGANGenerator
 from baryon_painter_tpu.train import checkpoint as ckpt
 from baryon_painter_tpu.train.stats import TrainingStats
+from baryon_painter_tpu.train.trainer import clip_grads_by_global_norm
 
 __all__ = ["CGANTrainConfig", "CGANTrainer"]
 
@@ -96,6 +97,9 @@ class CGANTrainConfig:
     # gate metric even at lr -> 0 (TrainConfig.freeze_bn_stats rationale).
     # Discriminator stats keep updating - the gate never paints with D.
     freeze_bn_stats: bool = False
+    # Global-norm gradient clipping for BOTH G and D updates (0 = off);
+    # see TrainConfig.clip_grad_norm for the heavy-tail rationale.
+    clip_grad_norm: float = 0.0
 
 
 class CGANTrainer:
@@ -237,6 +241,9 @@ class CGANTrainer:
         if adv_on:
             (d_loss, (d_stats, p_real_m, p_fake_m)), d_grads = \
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            if self.config.clip_grad_norm > 0:
+                d_grads = clip_grads_by_global_norm(
+                    d_grads, self.config.clip_grad_norm)
             d_dir, d_opt = self.optimizer.update(d_grads, state.d_opt,
                                                  state.d_params)
             d_params = optax.apply_updates(state.d_params,
@@ -294,6 +301,9 @@ class CGANTrainer:
 
         (g_loss, (g_adv, g_perc, g_pk)), g_grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        if self.config.clip_grad_norm > 0:
+            g_grads = clip_grads_by_global_norm(
+                g_grads, self.config.clip_grad_norm)
         g_dir, g_opt = self.optimizer.update(g_grads, state.g_opt,
                                              state.g_params)
         g_params = optax.apply_updates(state.g_params,

@@ -63,6 +63,19 @@ _GAN_PROGRESS_KEYS = ("n_samples", "i_pepoch", "last_pepoch_samples",
                       "last_val_loss", "last_ckpt")
 
 
+def clip_grads_by_global_norm(grads, max_norm):
+    """Scale a gradient pytree so its global L2 norm is at most max_norm.
+
+    Shared by the CVAE and CGAN train steps (TrainConfig.clip_grad_norm /
+    CGANTrainConfig.clip_grad_norm). Operates on the raw gradients rather
+    than inside the optax chain so that checkpointed opt_states keep the
+    same tree structure whether clipping is on or off.
+    """
+    norm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads)
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -117,6 +130,14 @@ class TrainConfig:
     # calibration mode freezes its G stats for the same reason
     # (train/cgan.py adversarial_weight=0); this is the CVAE counterpart.
     freeze_bn_stats: bool = False
+    # Global-norm gradient clipping (0 = off). The spectral loss on
+    # heavy-tailed physical stacks (lognormal density; --physical
+    # fixtures) occasionally produces gradient spikes that bounce a
+    # near-converged fine-tune off its gate floor (observed: the
+    # physical-512 per-z fine-tune oscillated 0.28 -> 0.42 at lr 5e-5
+    # with best-gate never improving). Applied to the gradients, not the
+    # optax chain, so restored opt_states stay tree-compatible.
+    clip_grad_norm: float = 0.0
     verbose: bool = False
 
 
@@ -314,6 +335,9 @@ class CVAETrainer:
 
         (_, (out, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if self.config.clip_grad_norm > 0:
+            grads = clip_grads_by_global_norm(grads,
+                                              self.config.clip_grad_norm)
         direction, opt_state = self.optimizer.update(grads, state.opt_state,
                                                      state.params)
         direction = jax.tree.map(lambda u: lr * u, direction)

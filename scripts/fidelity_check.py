@@ -149,6 +149,12 @@ def main():
                         "makes a resumed gate-floor checkpoint actually "
                         "refinable (the CGAN calibration mode does this "
                         "implicitly)")
+    p.add_argument("--clip-grad", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off). The spectral "
+                        "loss on the heavy-tailed --physical fixtures "
+                        "occasionally spikes; unclipped spikes bounce a "
+                        "near-converged fine-tune off its gate floor "
+                        "(TrainConfig.clip_grad_norm)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/bpt_fidelity")
     p.add_argument("--resume", action="store_true",
@@ -260,7 +266,8 @@ def main():
             config=TrainConfig(seed=args.seed,
                                pk_loss_weight=args.pk_loss_weight,
                                pk_loss_per_z=args.pk_loss_weight > 0,
-                               freeze_bn_stats=args.freeze_bn),
+                               freeze_bn_stats=args.freeze_bn,
+                               clip_grad_norm=args.clip_grad),
             device_data=True)
         make_painter = lambda dtype="keep": CVAEPainter.from_trainer(
             trainer, dtype=dtype)
@@ -284,7 +291,8 @@ def main():
                                   pk_loss_per_z=args.pk_loss_weight > 0,
                                   adversarial_weight=args.adv_weight,
                                   lambda_perceptual=args.perc_weight,
-                                  freeze_bn_stats=args.freeze_bn),
+                                  freeze_bn_stats=args.freeze_bn,
+                                  clip_grad_norm=args.clip_grad),
                               device_data=True)
         make_painter = lambda dtype="keep": CGANPainter.from_trainer(
             trainer, dtype=dtype)

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--keep-last-checkpoints", type=int, default=0,
                    help="rotate periodic checkpoints, keeping only the "
                         "newest N (0 = keep all, the reference behavior)")
+    p.add_argument("--clip-grad", type=float, default=0.0,
+                   help="global-norm gradient clip for G and D, 0 = off "
+                        "(CGANTrainConfig.clip_grad_norm)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -68,6 +71,7 @@ def main():
                           lambda_perceptual=args.lambda_perceptual,
                           output_path=args.output_path, seed=args.seed,
                           keep_last_checkpoints=args.keep_last_checkpoints,
+                          clip_grad_norm=args.clip_grad,
                           verbose=args.verbose)
     trainer = CGANTrainer(ds, config=cfg,
                           generator=CGANGenerator(n_res_blocks=args.n_res_blocks),

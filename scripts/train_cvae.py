@@ -57,6 +57,9 @@ def main():
                         "pooled batch-mean (TrainConfig.pk_loss_per_z); "
                         "the P(k) gate is per-z, a pooled loss can trade "
                         "redshifts off against each other")
+    p.add_argument("--clip-grad", type=float, default=None,
+                   help="global-norm gradient clip, 0/None = off "
+                        "(TrainConfig.clip_grad_norm)")
     p.add_argument("--keep-last-checkpoints", type=int, default=0,
                    help="rotate periodic checkpoints, keeping only the "
                         "newest N (0 = keep all, the reference behavior)")
@@ -149,6 +152,9 @@ def main():
     if args.pk_loss_per_z:
         overrides["pk_loss_per_z"] = True
         run_cfg.train["pk_loss_per_z"] = True
+    if args.clip_grad is not None:
+        overrides["clip_grad_norm"] = args.clip_grad
+        run_cfg.train["clip_grad_norm"] = args.clip_grad
     cfg = run_cfg.build_train_config(**overrides)
 
     os.makedirs(args.output_path, exist_ok=True)

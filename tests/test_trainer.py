@@ -319,3 +319,54 @@ def test_freeze_bn_stats(dataset, arch):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         tr2.state.batch_stats, s0)))
     assert drift > 0
+
+
+def test_clip_grads_by_global_norm():
+    """Unit: the helper caps the global L2 norm and preserves direction."""
+    from baryon_painter_tpu.train.trainer import clip_grads_by_global_norm
+    import optax
+    tree = {"a": jnp.full((3,), 3.0), "b": jnp.full((4,), 4.0)}
+    norm = float(optax.global_norm(tree))  # sqrt(9*3 + 16*4) ~ 9.54
+    clipped = clip_grads_by_global_norm(tree, 1.0)
+    assert abs(float(optax.global_norm(clipped)) - 1.0) < 1e-6
+    # direction preserved: clipped = tree / norm
+    np.testing.assert_allclose(np.asarray(clipped["a"]),
+                               np.asarray(tree["a"]) / norm, rtol=1e-6)
+    # below the cap: untouched
+    untouched = clip_grads_by_global_norm(tree, norm * 10)
+    np.testing.assert_array_equal(np.asarray(untouched["b"]),
+                                  np.asarray(tree["b"]))
+
+
+def test_clip_grad_norm_bounds_update(dataset, arch):
+    """A tiny clip bounds the parameter update to ~lr * clip while a huge
+    clip leaves the step identical to the unclipped trainer (heavy-tail
+    spectral-gradient spikes motivated TrainConfig.clip_grad_norm)."""
+    batch = dataset.get_raw_batch(np.arange(4))
+
+    tr_ref = make_trainer(dataset, arch)
+    tr_huge = make_trainer(dataset, arch, clip_grad_norm=1e9)
+    tr_tiny = make_trainer(dataset, arch, clip_grad_norm=1e-4)
+    p0 = jax.device_get(tr_ref.state.params)
+
+    tr_ref.step(batch, lr=1e-3)
+    tr_huge.step(batch, lr=1e-3)
+    tr_tiny.step(batch, lr=1e-3)
+
+    # same seed + same data: a non-binding clip must not change the step
+    for a, b in zip(jax.tree.leaves(tr_ref.state.params),
+                    jax.tree.leaves(tr_huge.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a binding clip shrinks the raw gradient by orders of magnitude; adam
+    # renormalizes per-parameter, so assert via the pre-update invariant:
+    # the tiny-clip step must differ from the reference step (clip engaged)
+    # and both must remain finite
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        tr_tiny.state.params, tr_ref.state.params)))
+    assert diff > 0
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr_tiny.state.params, p0)))
+    assert np.isfinite(moved)
