@@ -301,6 +301,7 @@ class CGANTrainer:
 
         (g_loss, (g_adv, g_perc, g_pk)), g_grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_grad_norm = optax.global_norm(g_grads)
         if self.config.clip_grad_norm > 0:
             g_grads = clip_grads_by_global_norm(
                 g_grads, self.config.clip_grad_norm)
@@ -318,7 +319,7 @@ class CGANTrainer:
             step=state.step + 1)
         metrics = {"loss_D": d_loss, "loss_G_adv": g_adv, "pk_loss": g_pk,
                    "loss_G_perceptual": g_perc, "D_real": p_real_m,
-                   "D_fake": p_fake_m}
+                   "D_fake": p_fake_m, "grad_norm": g_grad_norm}
         return new_state, metrics
 
     def _eval_step_impl(self, state: GANTrainState, raw_input, raw_label, z):

@@ -335,6 +335,9 @@ class CVAETrainer:
 
         (_, (out, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # pre-clip global norm: the observable for choosing clip_grad_norm
+        # (XLA CSEs the duplicate norm inside the clip helper)
+        out = dict(out, grad_norm=optax.global_norm(grads))
         if self.config.clip_grad_norm > 0:
             grads = clip_grads_by_global_norm(grads,
                                               self.config.clip_grad_norm)

@@ -507,13 +507,18 @@ def main():
                 lr = args.lr * (0.85 ** pepoch)
             m = trainer.step_scan(idx, lr=lr)
             record(m, k, done)
-            m = {"elbo": m["loss_G_adv"]}
+            m = {"elbo": m["loss_G_adv"],
+                 **({"grad_norm": m["grad_norm"]} if "grad_norm" in m else {})}
             done += k
             maybe_eval(done)
         if done % (args.scan * 8) < args.scan:
             elbo = float(np.asarray(m["elbo"]).reshape(-1)[-1])
             rate = done * args.batch / (time.time() - t0)
-            print(f"step {done}/{n_steps} elbo={elbo:.3e} "
+            gn = ""
+            if "grad_norm" in m:   # pre-clip global norm (clip_grad_norm)
+                g = np.asarray(m["grad_norm"]).reshape(-1)
+                gn = f" |g|={g[-1]:.2e} (max {g.max():.2e})"
+            print(f"step {done}/{n_steps} elbo={elbo:.3e}{gn} "
                   f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
 
     if not args.eval_only:
