@@ -13,6 +13,7 @@ synthetic planes.
 """
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -276,6 +277,14 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
         raise ValueError("seamless painting has no tiles to regularise; "
                          "use the tiled path for regularise/"
                          "return_problematic_tiles")
+    if seamless and getattr(painter, "_fused_inference", False):
+        # The fused Pallas blocks specialize on spatial shape; seamless
+        # paints a distinct plane size per shell, each a multi-minute
+        # Mosaic recompile (measured: one LOS never finishes its first
+        # pass). Fused painting only pays off for fixed-shape tiled runs.
+        warnings.warn("seamless painting with fused_inference recompiles "
+                      "the fused kernels per plane size (minutes each); "
+                      "use fused for the tiled path only", stacklevel=2)
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
 
