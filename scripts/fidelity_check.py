@@ -66,6 +66,33 @@ def pk_errors(painter, ds, n_sample=48, seed=0, z=None, matmul_precision=None):
     return float(np.median(auto)), float(np.median(cross)), diag
 
 
+def allocate_batch_shares(batch, shares, zs):
+    """Largest-remainder allocation of `batch` samples over per-z `shares`.
+
+    Exact for the static CLI contract (batch % sum(shares) == 0 gives
+    per-share integer quotas), and well-defined for the dynamic
+    '--z-boost auto' case where the share total need not divide the batch.
+    Every z gets at least one sample — the per-z masked batch-mean P(k)
+    loss (TrainConfig.pk_loss_per_z) needs every redshift represented in
+    every step's batch.
+    """
+    if batch < len(zs):
+        raise ValueError(f"batch {batch} < {len(zs)} redshifts: the per-z "
+                         f"spectral loss needs every z in every batch")
+    total = sum(shares[z] for z in zs)
+    raw = {z: batch * shares[z] / total for z in zs}
+    counts = {z: int(raw[z]) for z in zs}
+    rem = batch - sum(counts.values())
+    for z in sorted(zs, key=lambda w: raw[w] - counts[w], reverse=True)[:rem]:
+        counts[z] += 1
+    for z in zs:
+        if counts[z] == 0:
+            donor = max(zs, key=lambda w: counts[w])
+            counts[donor] -= 1
+            counts[z] = 1
+    return counts
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cvae", choices=["cvae", "cgan"])
@@ -139,7 +166,13 @@ def main():
                         "spectral fine-tune, e.g. '0:2' samples redshift 0 "
                         "at twice the rate of every other z (gate selection "
                         "still scores all redshifts). Batch size must divide "
-                        "by the total share count.")
+                        "by the total share count. 'auto' (or 'auto:K', "
+                        "default K=2) re-targets the boost at every eval to "
+                        "whichever redshifts currently bind the gate (within "
+                        "80%% of the worst per-z value) — the binding z "
+                        "migrates as a fine-tune progresses, so a static "
+                        "boost goes stale mid-run; batches are allocated by "
+                        "largest remainder (any batch >= n_z works).")
     p.add_argument("--freeze-bn", action="store_true",
                    help="CVAE fine-tunes: keep BatchNorm running stats "
                         "fixed at their restored values (TrainConfig."
@@ -355,18 +388,37 @@ def main():
     # gate selection still scores ALL redshifts (so the boosted fine-tune
     # cannot silently regress the others).
     shares = {z: 1 for z in zs}
+    auto_boost = 0
     if args.z_boost:
-        for part in args.z_boost.split(","):
-            zstr, w = part.split(":")
-            zval = float(zstr)
-            if zval not in shares:
-                raise SystemExit(f"--z-boost: z={zstr} not in --redshifts")
-            shares[zval] = int(w)
+        if args.z_boost.split(":")[0] == "auto":
+            # dynamic boost: re-targeted to the binding redshift(s) at every
+            # eval (maybe_eval below) — the binding z migrates as the
+            # fine-tune progresses (observed: z=0.5 -> z=1 within one leg),
+            # so a static boost goes stale mid-run
+            auto_boost = (int(args.z_boost.split(":")[1])
+                          if ":" in args.z_boost else 2)
+            if auto_boost < 2:
+                raise SystemExit("--z-boost auto:K needs K >= 2 "
+                                 "(K=1 is a no-op)")
+            if not args.eval_every:
+                raise SystemExit("--z-boost auto re-targets at each eval; "
+                                 "it needs --eval-every")
+        else:
+            for part in args.z_boost.split(","):
+                zstr, w = part.split(":")
+                zval = float(zstr)
+                if zval not in shares:
+                    raise SystemExit(f"--z-boost: z={zstr} not in "
+                                     f"--redshifts")
+                shares[zval] = int(w)
     n_shares = sum(shares.values())
-    if stratify and args.batch % n_shares:
+    if stratify and not auto_boost and args.batch % n_shares:
         raise SystemExit(f"--batch {args.batch} must be divisible by the "
                          f"total z shares ({n_shares}) for the per-z "
                          f"spectral loss")
+    if stratify and args.batch < len(zs):
+        raise SystemExit(f"--batch {args.batch} < {len(zs)} redshifts: the "
+                         f"per-z spectral loss needs every z in every batch")
     if args.z_boost and not stratify:
         raise SystemExit("--z-boost only takes effect with the stratified "
                          "spectral fine-tune (--pk-loss-weight > 0); "
@@ -376,9 +428,8 @@ def main():
     def step_indices(j):
         if not stratify:
             return train_ds.sample_indices(rng, args.batch)
-        per = args.batch // n_shares
-        return np.concatenate([train_ds.sample_indices(rng, per * shares[z],
-                                                       z=z)
+        counts = allocate_batch_shares(args.batch, shares, zs)
+        return np.concatenate([train_ds.sample_indices(rng, counts[z], z=z)
                                for z in zs])
 
     if args.eval_only:
@@ -429,27 +480,43 @@ def main():
                 vals.append(float(arrs["pk_loss"][i]))
             stats.push_loss(sample_base + (done + i + 1) * args.batch, *vals)
 
-    def gate_metric():
+    def gate_metric(return_per_z=False):
         """max over gate dtypes and z of max(auto, cross) — the pass_5pct
         criterion. Scoring the worst dtype keeps the selected parameters in
         a rounding-robust minimum instead of one platform's arithmetic."""
         worst = 0.0
+        per_z = {}
         for _, dt, prec in gate_dtypes:
             p = make_painter(dtype=dt)
             for z in val_ds.redshifts:
                 az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z,
                                       matmul_precision=prec)
+                per_z[z] = max(per_z.get(z, 0.0), az, cz)
                 worst = max(worst, az, cz)
-        return worst
+        return (worst, per_z) if return_per_z else worst
+
+    def retarget_boost(per_z, worst):
+        """'--z-boost auto': give the binding redshift(s) — within 80% of
+        the worst per-z gate value — `auto_boost` batch shares each. Returns
+        a description when the targeting changed."""
+        binding = {z for z, v in per_z.items() if v >= 0.8 * worst}
+        new = {z: (auto_boost if z in binding else 1) for z in zs}
+        if new == shares:
+            return ""
+        shares.update(new)
+        return ("  boost-> " +
+                ",".join(f"z={z:g}" for z in sorted(binding)))
 
     best = (float("inf"), None)
     if args.eval_every and args.resume and n_steps:
         if os.path.exists(ckpt_base + "_state.msgpack"):
             # seed the selection with the restored state's own gate score so
             # a refinement run can never regress the saved best checkpoint
-            best = (gate_metric(), jax.device_get(trainer.state))
-            print(f"  eval @ start: gate = {best[0]:.4f} (selection floor)",
-                  file=sys.stderr, flush=True)
+            worst0, per_z0 = gate_metric(return_per_z=True)
+            best = (worst0, jax.device_get(trainer.state))
+            mark0 = retarget_boost(per_z0, worst0) if auto_boost else ""
+            print(f"  eval @ start: gate = {best[0]:.4f} (selection floor)"
+                  f"{mark0}", file=sys.stderr, flush=True)
 
     # Dataset-geometry provenance: stamped into every saved checkpoint's
     # meta so promotion can derive (and cross-check) the --eval-only flags
@@ -475,7 +542,7 @@ def main():
         nonlocal best
         if not args.eval_every or done % args.eval_every >= args.scan:
             return
-        worst = gate_metric()
+        worst, per_z = gate_metric(return_per_z=True)
         mark = ""
         if worst < best[0]:
             best = (worst, jax.device_get(trainer.state))
@@ -483,6 +550,8 @@ def main():
             # best state (observed: silent process death at step 1250)
             save_with_geometry(ckpt_base + "_best")
             mark = "  <- best (saved)"
+        if auto_boost:
+            mark += retarget_boost(per_z, worst)
         print(f"  eval @ {done}: gate max_z max(auto,cross) = "
               f"{worst:.4f}{mark}", file=sys.stderr, flush=True)
 
