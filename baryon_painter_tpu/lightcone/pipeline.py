@@ -13,7 +13,6 @@ synthetic planes.
 """
 from __future__ import annotations
 
-import warnings
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -281,10 +280,11 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
         # The fused Pallas blocks specialize on spatial shape; seamless
         # paints a distinct plane size per shell, each a multi-minute
         # Mosaic recompile (measured: one LOS never finishes its first
-        # pass). Fused painting only pays off for fixed-shape tiled runs.
-        warnings.warn("seamless painting with fused_inference recompiles "
-                      "the fused kernels per plane size (minutes each); "
-                      "use fused for the tiled path only", stacklevel=2)
+        # pass). Fail fast like the regularise branch above — a warning
+        # scrolls away hours before the compile treadmill becomes obvious.
+        raise ValueError("seamless painting with fused_inference recompiles "
+                         "the fused kernels per plane size (minutes each, "
+                         "one per shell); use fused for the tiled path only")
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
 

@@ -241,6 +241,7 @@ class CGANTrainer:
         if adv_on:
             (d_loss, (d_stats, p_real_m, p_fake_m)), d_grads = \
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            d_grad_norm = optax.global_norm(d_grads)
             if self.config.clip_grad_norm > 0:
                 d_grads = clip_grads_by_global_norm(
                     d_grads, self.config.clip_grad_norm)
@@ -250,7 +251,7 @@ class CGANTrainer:
                                            jax.tree.map(lambda u: lr * u,
                                                         d_dir))
         else:
-            d_loss = p_real_m = p_fake_m = jnp.zeros(())
+            d_loss = p_real_m = p_fake_m = d_grad_norm = jnp.zeros(())
             d_params, d_stats, d_opt = (state.d_params, state.d_stats,
                                         state.d_opt)
 
@@ -319,7 +320,8 @@ class CGANTrainer:
             step=state.step + 1)
         metrics = {"loss_D": d_loss, "loss_G_adv": g_adv, "pk_loss": g_pk,
                    "loss_G_perceptual": g_perc, "D_real": p_real_m,
-                   "D_fake": p_fake_m, "grad_norm": g_grad_norm}
+                   "D_fake": p_fake_m, "grad_norm": g_grad_norm,
+                   "d_grad_norm": d_grad_norm}
         return new_state, metrics
 
     def _eval_step_impl(self, state: GANTrainState, raw_input, raw_label, z):

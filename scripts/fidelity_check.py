@@ -395,8 +395,14 @@ def main():
             # eval (maybe_eval below) — the binding z migrates as the
             # fine-tune progresses (observed: z=0.5 -> z=1 within one leg),
             # so a static boost goes stale mid-run
-            auto_boost = (int(args.z_boost.split(":")[1])
-                          if ":" in args.z_boost else 2)
+            try:
+                auto_boost = (int(args.z_boost.split(":", 1)[1])
+                              if ":" in args.z_boost else 2)
+            except ValueError:
+                raise SystemExit(
+                    f"--z-boost {args.z_boost!r}: 'auto' takes a single "
+                    f"integer share count ('auto' or 'auto:K'); it cannot "
+                    f"be mixed with static z:share entries")
             if auto_boost < 2:
                 raise SystemExit("--z-boost auto:K needs K >= 2 "
                                  "(K=1 is a no-op)")
@@ -555,6 +561,7 @@ def main():
         print(f"  eval @ {done}: gate max_z max(auto,cross) = "
               f"{worst:.4f}{mark}", file=sys.stderr, flush=True)
 
+    gn_window_max = 0.0  # pre-clip |g| max over ALL scans since last print
     while done < n_steps:
         k = min(args.scan, n_steps - done)
         idx = np.stack([step_indices(done + j) for j in range(k)])
@@ -580,13 +587,19 @@ def main():
                  **({"grad_norm": m["grad_norm"]} if "grad_norm" in m else {})}
             done += k
             maybe_eval(done)
+        if "grad_norm" in m:   # pre-clip global norm (clip_grad_norm)
+            gn_window_max = max(gn_window_max,
+                                float(np.asarray(m["grad_norm"]).max()))
         if done % (args.scan * 8) < args.scan:
             elbo = float(np.asarray(m["elbo"]).reshape(-1)[-1])
             rate = done * args.batch / (time.time() - t0)
             gn = ""
-            if "grad_norm" in m:   # pre-clip global norm (clip_grad_norm)
+            if "grad_norm" in m:
                 g = np.asarray(m["grad_norm"]).reshape(-1)
-                gn = f" |g|={g[-1]:.2e} (max {g.max():.2e})"
+                # window max covers every scan since the last print, not
+                # just this one — spikes are the thing this line exists for
+                gn = f" |g|={g[-1]:.2e} (window max {gn_window_max:.2e})"
+                gn_window_max = 0.0
             print(f"step {done}/{n_steps} elbo={elbo:.3e}{gn} "
                   f"({rate:.0f} samples/s)", file=sys.stderr, flush=True)
 
