@@ -93,6 +93,67 @@ def allocate_batch_shares(batch, shares, zs):
     return counts
 
 
+def validate_fine_tune_args(args, zs):
+    """Parse-time validation of the spectral fine-tune flag combination.
+
+    Returns (shares, auto_boost). Depends only on argv-derived values so it
+    runs before any dataset/model/JAX work — a bad combination (e.g.
+    '--z-boost auto' without --eval-every, or a batch size the z shares
+    don't divide) must not cost a checkpoint restore and a multi-minute
+    512^2 paint-graph compile first.
+    """
+    stratify = args.pk_loss_weight > 0
+    # --z-boost "0:2,0.5:1" gives redshift 0 two batch shares per share of
+    # every other z: more tiles -> a less noisy per-z P(k) estimate and a
+    # stronger gradient for the redshift that sits on the gate floor, while
+    # gate selection still scores ALL redshifts (so the boosted fine-tune
+    # cannot silently regress the others).
+    shares = {z: 1 for z in zs}
+    auto_boost = 0
+    if args.z_boost:
+        if args.z_boost.split(":")[0] == "auto":
+            # dynamic boost: re-targeted to the binding redshift(s) at every
+            # eval (maybe_eval in main) — the binding z migrates as the
+            # fine-tune progresses (observed: z=0.5 -> z=1 within one leg),
+            # so a static boost goes stale mid-run
+            try:
+                auto_boost = (int(args.z_boost.split(":", 1)[1])
+                              if ":" in args.z_boost else 2)
+            except ValueError:
+                raise SystemExit(
+                    f"--z-boost {args.z_boost!r}: 'auto' takes a single "
+                    f"integer share count ('auto' or 'auto:K'); it cannot "
+                    f"be mixed with static z:share entries")
+            if auto_boost < 2:
+                raise SystemExit("--z-boost auto:K needs K >= 2 "
+                                 "(K=1 is a no-op)")
+            if not args.eval_every:
+                raise SystemExit("--z-boost auto re-targets at each eval; "
+                                 "it needs --eval-every")
+        else:
+            for part in args.z_boost.split(","):
+                zstr, w = part.split(":")
+                zval = float(zstr)
+                if zval not in shares:
+                    raise SystemExit(f"--z-boost: z={zstr} not in "
+                                     f"--redshifts")
+                shares[zval] = int(w)
+    n_shares = sum(shares.values())
+    if stratify and not auto_boost and args.batch % n_shares:
+        raise SystemExit(f"--batch {args.batch} must be divisible by the "
+                         f"total z shares ({n_shares}) for the per-z "
+                         f"spectral loss")
+    if stratify and args.batch < len(zs):
+        raise SystemExit(f"--batch {args.batch} < {len(zs)} redshifts: the "
+                         f"per-z spectral loss needs every z in every batch")
+    if args.z_boost and not stratify:
+        raise SystemExit("--z-boost only takes effect with the stratified "
+                         "spectral fine-tune (--pk-loss-weight > 0); "
+                         "without it batches are sampled uniformly and the "
+                         "flag would be silently ignored")
+    return shares, auto_boost
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cvae", choices=["cvae", "cgan"])
@@ -213,6 +274,10 @@ def main():
         # CGAN, whose reference lr is 5e-5, trained_models/README.md:130-139)
         args.lr = 1e-3 if args.model == "cvae" else 5e-5
     redshifts = tuple(float(s) for s in args.redshifts.split(","))
+    # Fail fast on flag-combination errors: these used to be checked only
+    # after dataset synthesis + checkpoint restore + the untrained paint-graph
+    # compile (~10+ min of TPU time on a 512^2 run) had already been paid.
+    shares, auto_boost = validate_fine_tune_args(args, list(redshifts))
 
     import jax
 
@@ -382,54 +447,9 @@ def main():
     # with conflicting per-step gradients (both observed).
     zs = list(train_ds.redshifts)
     stratify = args.pk_loss_weight > 0
-    # --z-boost "0:2,0.5:1" gives redshift 0 two batch shares per share of
-    # every other z: more tiles -> a less noisy per-z P(k) estimate and a
-    # stronger gradient for the redshift that sits on the gate floor, while
-    # gate selection still scores ALL redshifts (so the boosted fine-tune
-    # cannot silently regress the others).
-    shares = {z: 1 for z in zs}
-    auto_boost = 0
-    if args.z_boost:
-        if args.z_boost.split(":")[0] == "auto":
-            # dynamic boost: re-targeted to the binding redshift(s) at every
-            # eval (maybe_eval below) — the binding z migrates as the
-            # fine-tune progresses (observed: z=0.5 -> z=1 within one leg),
-            # so a static boost goes stale mid-run
-            try:
-                auto_boost = (int(args.z_boost.split(":", 1)[1])
-                              if ":" in args.z_boost else 2)
-            except ValueError:
-                raise SystemExit(
-                    f"--z-boost {args.z_boost!r}: 'auto' takes a single "
-                    f"integer share count ('auto' or 'auto:K'); it cannot "
-                    f"be mixed with static z:share entries")
-            if auto_boost < 2:
-                raise SystemExit("--z-boost auto:K needs K >= 2 "
-                                 "(K=1 is a no-op)")
-            if not args.eval_every:
-                raise SystemExit("--z-boost auto re-targets at each eval; "
-                                 "it needs --eval-every")
-        else:
-            for part in args.z_boost.split(","):
-                zstr, w = part.split(":")
-                zval = float(zstr)
-                if zval not in shares:
-                    raise SystemExit(f"--z-boost: z={zstr} not in "
-                                     f"--redshifts")
-                shares[zval] = int(w)
-    n_shares = sum(shares.values())
-    if stratify and not auto_boost and args.batch % n_shares:
-        raise SystemExit(f"--batch {args.batch} must be divisible by the "
-                         f"total z shares ({n_shares}) for the per-z "
-                         f"spectral loss")
-    if stratify and args.batch < len(zs):
-        raise SystemExit(f"--batch {args.batch} < {len(zs)} redshifts: the "
-                         f"per-z spectral loss needs every z in every batch")
-    if args.z_boost and not stratify:
-        raise SystemExit("--z-boost only takes effect with the stratified "
-                         "spectral fine-tune (--pk-loss-weight > 0); "
-                         "without it batches are sampled uniformly and the "
-                         "flag would be silently ignored")
+    # shares/auto_boost were validated and computed at parse time
+    # (validate_fine_tune_args) so a bad flag combination fails in
+    # milliseconds, not after minutes of restore + paint-graph compile.
 
     def step_indices(j):
         if not stratify:

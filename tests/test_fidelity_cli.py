@@ -63,3 +63,36 @@ def test_train_report_and_eval_only_contract(tmp_path):
         np.testing.assert_allclose(
             rep2["per_z"][z]["auto"], rep["per_z"][z]["auto"], atol=2e-3)
     assert "restored checkpoint" in err2
+
+
+def test_flag_validation_fails_fast(tmp_path):
+    """Bad flag combinations must exit at parse time — before dataset
+    synthesis, restore, or any paint-graph compile (each bad launch used to
+    cost 10+ min of 512^2 TPU compile before the check fired)."""
+    import time
+
+    cases = [
+        (["--z-boost", "auto", "--pk-loss-weight", "1", "--batch", "4",
+          "--redshifts", "0,1"],                       # auto needs evals
+         "needs --eval-every"),
+        (["--z-boost", "0:2", "--pk-loss-weight", "1", "--batch", "5",
+          "--redshifts", "0,1,2"],                     # 5 % (2+1+1) != 0
+         "divisible by the total z shares"),
+        (["--z-boost", "0:2", "--batch", "4", "--redshifts", "0,1"],
+         "--z-boost only takes effect"),               # boost without pk
+        (["--z-boost", "auto:1", "--pk-loss-weight", "1", "--batch", "4",
+          "--redshifts", "0,1", "--eval-every", "5"],
+         "K >= 2"),
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for extra, msg in cases:
+        t0 = time.time()
+        out = subprocess.run(
+            [sys.executable, SCRIPT, "--tile", "32", "--workdir",
+             str(tmp_path / "wd"), *extra],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, timeout=120)
+        assert out.returncode != 0, extra
+        assert msg in out.stderr, (extra, out.stderr[-500:])
+        # parse-time = import cost only; a compile would blow way past this
+        assert time.time() - t0 < 60, extra
