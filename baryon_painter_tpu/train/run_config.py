@@ -46,6 +46,11 @@ def schedule_from_spec(spec) -> Optional[Callable]:
         return _sched.step_lr(kw["step_size"], kw["gamma"])
     if kind == "linear_anneal":
         return _sched.linear_anneal(**kw)
+    if kind == "avoid_plateau":
+        # the reference's validation-reactive mode (painter.py:101-110);
+        # stateful — the trainer feeds it the ELBO at pepoch boundaries and
+        # checkpoints its 4-float state (trainer.save/restore "lr_sched")
+        return _sched.ReduceLROnPlateau(**kw)
     if kind == "piecewise":
         bounds, values = list(kw["boundaries"]), list(kw["values"])
         if len(values) != len(bounds) + 1:

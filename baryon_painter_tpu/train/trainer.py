@@ -583,7 +583,18 @@ class CVAETrainer:
                 if i_pepoch >= cfg.n_pepoch:
                     break
                 if cfg.adaptive_learning_rate:
-                    lr_mult = cfg.adaptive_learning_rate(i_pepoch)
+                    sched = cfg.adaptive_learning_rate
+                    if hasattr(sched, "observe"):
+                        # reactive schedule (ReduceLROnPlateau): feed it the
+                        # latest training-ELBO moving average (the reference
+                        # steps its torch scheduler with the current batch's
+                        # ELBO at each pepoch boundary, painter.py:186-190)
+                        self._flush_stats(pending, training_stats)
+                        mavg = training_stats.loss_terms["ELBO"]["mavg"]
+                        lr_mult = (sched.observe(mavg[-1]) if mavg
+                                   else sched())
+                    else:
+                        lr_mult = sched(i_pepoch)
                 if cfg.var_anneal_fn:
                     alpha_var = cfg.var_anneal_fn(i_pepoch)
                 if cfg.KL_anneal_fn:
@@ -758,6 +769,11 @@ class CVAETrainer:
                 [self._progress[k] for k in _PROGRESS_KEYS], dtype=np.int64)
         if self._data_rng is not None:
             state["data_rng"] = _encode_data_rng(self._data_rng)
+        sched = self.config.adaptive_learning_rate
+        if hasattr(sched, "state_array"):
+            # reactive schedules (ReduceLROnPlateau) carry float state that
+            # must survive a resume mid-plateau
+            state["lr_sched"] = np.asarray(sched.state_array(), np.float64)
         meta = ckpt.meta_from_dataset(self.training_data,
                                       self.model.architecture)
         if self.run_config is not None:
@@ -785,4 +801,8 @@ class CVAETrainer:
                               for k, v in zip(_PROGRESS_KEYS, vals)}
         if "data_rng" in raw:
             self._data_rng = _decode_data_rng(raw["data_rng"])
+        if "lr_sched" in raw and hasattr(self.config.adaptive_learning_rate,
+                                         "load_state_array"):
+            self.config.adaptive_learning_rate.load_state_array(
+                np.asarray(raw["lr_sched"], np.float64))
         return meta

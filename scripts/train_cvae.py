@@ -49,6 +49,16 @@ def main():
                    help="wrap training in a jax.profiler device trace "
                         "written to LOG_DIR (TensorBoard-compatible) and "
                         "print per-dispatch wall-time percentiles")
+    p.add_argument("--adaptive-lr", default=None,
+                   choices=["fiducial", "avoid_plateau"],
+                   help="lr schedule: 'fiducial' = the reference's step "
+                        "decay (CVAE_single_scale.py:160-172); "
+                        "'avoid_plateau' = the reference's "
+                        "validation-reactive ReduceLROnPlateau mode "
+                        "(painter.py:101-110: max-mode, factor 0.1, "
+                        "patience 10 pepochs, rel threshold 1e-4), stepped "
+                        "with the training-ELBO moving average and resumed "
+                        "from checkpoints mid-plateau")
     p.add_argument("--pk-loss-weight", type=float, default=None,
                    help="spectral auxiliary loss weight (see "
                         "TrainConfig.pk_loss_weight)")
@@ -155,6 +165,10 @@ def main():
     if args.clip_grad is not None:
         overrides["clip_grad_norm"] = args.clip_grad
         run_cfg.train["clip_grad_norm"] = args.clip_grad
+    if args.adaptive_lr is not None:
+        run_cfg.schedules["lr_schedule"] = (
+            {"kind": "fiducial_lr"} if args.adaptive_lr == "fiducial"
+            else {"kind": "avoid_plateau"})
     cfg = run_cfg.build_train_config(**overrides)
 
     os.makedirs(args.output_path, exist_ok=True)
