@@ -185,6 +185,20 @@ def main():
                         "5%% gate")
     p.add_argument("--upsample", default="transpose",
                    choices=["transpose", "resize"])
+    p.add_argument("--dm-transform", default="shift-log:4",
+                   help="range-compression spec 'mode:k' (or 'mode:k1,k2' "
+                        "for two-parameter modes) for the DM field; modes "
+                        "as in transforms.RangeCompress. Default is the "
+                        "fiducial shift-log k=4")
+    p.add_argument("--pressure-transform", default="shift-log:4",
+                   help="like --dm-transform, for the pressure field. "
+                        "'log-tanh:K' bounds the transformed target to "
+                        "(-1,1) — stronger tail compression for the "
+                        "heavy-tailed --physical statistics (the "
+                        "physical-512 recipe). On --resume/--eval-only "
+                        "the checkpoint meta's transforms override these "
+                        "flags (the gate must paint through the "
+                        "transforms the model was trained with)")
     p.add_argument("--pk-loss-weight", type=float, default=0.0,
                    help="weight of the spectral auxiliary loss "
                         "(trainer.TrainConfig.pk_loss_weight); the ELBO is "
@@ -304,8 +318,34 @@ def main():
                                  redshifts=redshifts, seed=args.seed,
                                  name="fid", pressure_noise=args.pressure_noise,
                                  **physical_kw)
-    transforms = {"dm": RangeCompress("shift-log", 4.0, eps=1e-4),
-                  "pressure": RangeCompress("shift-log", 4.0, eps=1e-4)}
+    def parse_transform(spec):
+        mode, _, kstr = spec.partition(":")
+        if not kstr:
+            raise SystemExit(f"transform spec {spec!r}: expected 'mode:k'")
+        k = (tuple(float(x) for x in kstr.split(","))
+             if "," in kstr else float(kstr))
+        return RangeCompress(mode, k, eps=1e-4)
+
+    transforms = {"dm": parse_transform(args.dm_transform),
+                  "pressure": parse_transform(args.pressure_transform)}
+    # On restore, the checkpoint meta's transform specs are the source of
+    # truth (like the architecture below): the gate must paint through the
+    # transforms the model was trained with, not whatever the CLI says.
+    _ckpt_base_early = (args.checkpoint if args.checkpoint is not None
+                        else os.path.join(args.workdir,
+                                          f"fidelity_model_{args.model}"))
+    if (args.resume or args.eval_only) and os.path.exists(
+            _ckpt_base_early + "_meta.json"):
+        from baryon_painter_tpu.transforms import transform_from_dict
+        with open(_ckpt_base_early + "_meta.json") as f:
+            _meta_tf = json.load(f).get("transforms")
+        if _meta_tf:
+            restored = {f: transform_from_dict(d) for f, d in _meta_tf.items()}
+            if restored != transforms:
+                print(f"note: using the checkpoint's transforms "
+                      f"{ {f: (t.mode, t.k) for f, t in restored.items()} } "
+                      f"over the CLI flags", file=sys.stderr, flush=True)
+            transforms = restored
     train_ds = BahamasTileDataset(files=load_file_info(info),
                                   root_path=args.workdir, n_tile=2,
                                   n_stack=args.n_stack - 1, stack_offset=1,

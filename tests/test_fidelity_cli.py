@@ -65,6 +65,30 @@ def test_train_report_and_eval_only_contract(tmp_path):
     assert "restored checkpoint" in err2
 
 
+def test_transform_flags_and_meta_override(tmp_path):
+    """--dm/--pressure-transform select the training transforms; on
+    restore the checkpoint meta's transforms win over the CLI flags (the
+    gate must paint through what the model was trained with)."""
+    wd = str(tmp_path / "wd")
+    rep, err = run_fidelity(
+        SMOKE + ["--n-samples", "20", "--workdir", wd,
+                 "--pressure-transform", "log-tanh:8"], tmp_path)
+    ckpt = os.path.join(wd, "fidelity_model_cvae")
+    with open(ckpt + "_meta.json") as f:
+        tf = json.load(f)["transforms"]
+    assert tf["pressure"]["mode"] == "log-tanh"
+    assert tf["pressure"]["k"] == 8.0
+    assert tf["dm"]["mode"] == "shift-log"
+
+    # eval-only with DEFAULT transform flags: meta must override
+    rep2, err2 = run_fidelity(
+        SMOKE + ["--workdir", wd, "--eval-only"], tmp_path)
+    assert "using the checkpoint's transforms" in err2
+    for z in ("0", "1"):
+        np.testing.assert_allclose(
+            rep2["per_z"][z]["auto"], rep["per_z"][z]["auto"], atol=2e-3)
+
+
 def test_flag_validation_fails_fast(tmp_path):
     """Bad flag combinations must exit at parse time — before dataset
     synthesis, restore, or any paint-graph compile (each bad launch used to
