@@ -11,7 +11,13 @@ import os
 
 __all__ = ["respect_env_platform", "enable_compilation_cache"]
 
-DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/baryon_painter_tpu/jax")
+# Repo-local (gitignored): the VM hosting the tunneled TPU is restarted
+# between driver rounds and wipes /tmp and ~/.cache, but the repo checkout
+# survives — a cache outside it silently degrades to cold compiles exactly
+# when the driver-run bench needs it (BENCH_r03 paid 891.8 s that way).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache")
 
 
 def enable_compilation_cache(cache_dir: str = None):

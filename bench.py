@@ -16,8 +16,15 @@ import os
 import sys
 import tempfile
 import time
+from functools import partial
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bpt_bench_cache")
+# Persistent compile cache lives INSIDE the repo (gitignored): /tmp is wiped
+# by the VM restarts between driver rounds, which is exactly when the driver
+# re-runs this bench — a /tmp cache made every driver run a ~15 min cold
+# compile (BENCH_r03 first dispatch: 891.8 s) while looking warm in-session.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
@@ -117,7 +124,8 @@ def main():
     t0 = time.time()
     m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
     elbo = float(m["elbo"][-1])
-    log(f"first scan ({scan_k} steps, compile): {time.time() - t0:.1f}s "
+    train_compile_s = time.time() - t0
+    log(f"first scan ({scan_k} steps, compile): {train_compile_s:.1f}s "
         f"elbo={elbo:.4e}")
     assert np.isfinite(elbo), "non-finite ELBO"
     m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)  # warmup
@@ -150,6 +158,15 @@ def main():
     # painted/sec/chip"): prior-sample + decode + inverse transform through
     # the production paint_batch path. Tiles are staged in HBM first so the
     # number measures the chip, not the (possibly tunneled) host link.
+    #
+    # Methodology (VERDICT r3 weak 2 — the r3 number was irreproducible,
+    # 160.6 vs 476.5 tiles/s between runs of the same bench): K paints are
+    # fused into ONE lax.scan dispatch (mirroring step_scan), so tunnel
+    # dispatch latency and host jitter are paid once per K batches instead
+    # of once per batch, and the dispatch is repeated R times with a value
+    # sync each — the headline is the p50 over repetitions, with p95 and
+    # the max/min spread reported so a noisy host is visible in the JSON.
+    import jax.numpy as jnp
     from baryon_painter_tpu.painter import CVAEPainter
     # fused Pallas residual blocks are the production painting path
     # (models/fuse.py; bit-equal tiles, flag-gated XLA fallback off-TPU);
@@ -158,21 +175,41 @@ def main():
     painter = CVAEPainter.from_trainer(trainer, fused_inference=paint_fused)
     pb = int(os.environ.get("BPT_BENCH_PAINT_BATCH", str(batch)))
     raw = ds.get_raw_batch(ds.sample_indices(rng, pb))
-    dm = jax.device_put(jax.numpy.asarray(raw["input"], jax.numpy.float32))
-    zs = jax.device_put(jax.numpy.asarray(raw["z"], jax.numpy.float32))
+    dm = jax.device_put(jnp.asarray(raw["input"], jnp.float32))
+    zs = jax.device_put(jnp.asarray(raw["z"], jnp.float32))
     key = jax.random.PRNGKey(2)
+    paint_k = int(os.environ.get("BPT_BENCH_PAINT_SCAN", "8"))
+    n_reps = int(os.environ.get("BPT_BENCH_PAINT_REPS", "5"))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def paint_scan(key, k):
+        # carry a scalar reduction, not the painted tiles: storing k full
+        # (pb, 512, 512) outputs would turn the bench into an HBM test
+        def body(acc, i):
+            out = painter.paint_batch(dm, zs, rng=jax.random.fold_in(key, i))
+            return acc + out.astype(jnp.float32).mean(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jnp.arange(k))
+        return acc
+
     # sync by materializing a value: block_until_ready has been observed to
     # return early over the tunneled (axon) backend, which would make this
     # a dispatch-rate benchmark instead of a throughput one
-    float(painter.paint_batch(dm, zs, rng=key).sum())  # compile
-    n_pd = int(os.environ.get("BPT_BENCH_PAINT_DISPATCHES", "10"))
     t0 = time.time()
-    for i in range(n_pd):
-        out = painter.paint_batch(dm, zs, rng=jax.random.fold_in(key, i))
-    float(out.sum())
-    paint_tps = n_pd * pb / (time.time() - t0)
+    assert np.isfinite(float(paint_scan(key, paint_k)))  # compile
+    paint_compile_s = time.time() - t0
+    rep_ms = []
+    for r in range(1, n_reps + 1):
+        t0 = time.time()
+        float(paint_scan(jax.random.fold_in(key, r), paint_k))
+        rep_ms.append((time.time() - t0) * 1e3)
+    p50_ms, p95_ms = np.percentile(rep_ms, [50, 95])
+    paint_tps = paint_k * pb / (p50_ms / 1e3)
+    paint_spread = max(rep_ms) / min(rep_ms)
     log(f"paint: {paint_tps:.1f} tiles/s/chip ({tile}^2, batch {pb}, "
-        f"{n_pd} dispatches, fused={paint_fused})")
+        f"{n_reps} reps x {paint_k}-paint scan dispatches, "
+        f"fused={paint_fused}) p50={p50_ms:.1f}ms p95={p95_ms:.1f}ms "
+        f"spread={paint_spread:.2f}x compile={paint_compile_s:.1f}s")
 
     # FLOPs + MFU so perf regressions are visible, not just samples/s.
     # XLA cost_analysis counts a scan/while BODY once regardless of trip
@@ -214,6 +251,15 @@ def main():
         "achieved_bw_frac": None if np.isnan(bw_frac) else round(bw_frac, 3),
         "paint_tiles_per_sec": round(paint_tps, 1),
         "paint_fused": paint_fused,
+        # explicit compile-vs-steady split (VERDICT r3 item 8) + paint
+        # dispatch percentiles (item 3): the paint headline is the p50 of
+        # n_reps scan-fused dispatches; spread = max/min across reps
+        "compile_s": round(train_compile_s, 1),
+        "steady_ms_per_step": round(dt / n_steps * 1000, 2),
+        "paint_compile_s": round(paint_compile_s, 1),
+        "paint_p50_ms": round(float(p50_ms), 1),
+        "paint_p95_ms": round(float(p95_ms), 1),
+        "paint_rep_spread": round(paint_spread, 3),
     }))
 
 

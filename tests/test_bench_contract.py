@@ -33,3 +33,10 @@ def test_bench_stdout_is_one_json_record(tmp_path):
     assert rec["value"] > 0
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 14.0, rel=0.01)
     assert "error" not in rec
+    # compile/steady split + paint-dispatch percentile fields (r4 bench
+    # methodology: paint headline = p50 of scan-fused dispatches)
+    assert rec["compile_s"] > 0 and rec["steady_ms_per_step"] > 0
+    assert rec["paint_p50_ms"] > 0
+    assert rec["paint_p95_ms"] >= rec["paint_p50_ms"]
+    assert rec["paint_rep_spread"] >= 1.0
+    assert rec["paint_tiles_per_sec"] > 0
