@@ -80,7 +80,8 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
                 regularise: bool = False,
                 regularise_std: Optional[float] = None,
                 collect_problematic: bool = False,
-                mesh=None):
+                mesh=None,
+                device_output: bool = False):
     """Paint one high-z shell: overlap-tile the plane, batch-paint, blend.
 
     Mirrors the reference's high-z branch (process_SLICS.py:177-220) with
@@ -168,7 +169,9 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
                     dtype=np.int32)
     plane, wplane = blend_tiles(painted, weights, jnp.asarray(grid),
                                 n_pixel_plane)
-    result = np.asarray(plane / wplane)
+    result = plane / wplane
+    if not device_output:
+        result = np.asarray(result)
     if collect_problematic:
         return result, problematic
     return result
@@ -177,7 +180,8 @@ def paint_plane(painter, delta: np.ndarray, z_slice: float,
 def paint_plane_seamless(painter, delta, z_slice: float,
                          tile_size: float, delta_size: float,
                          n_pixel_tile: int, zoom_order: int = 3,
-                         mesh=None, rng=None, z_mode: str = "sample"):
+                         mesh=None, rng=None, z_mode: str = "sample",
+                         device_output: bool = False):
     """Paint one high-z shell seam-free: zoom the WHOLE plane to model
     resolution and decode it in one fully-convolutional pass
     (parallel/spatial.paint_plane), optionally row-sharded over a mesh
@@ -209,7 +213,7 @@ def paint_plane_seamless(painter, delta, z_slice: float,
                               order=zoom_order, mode="wrap")[0]
     out = spatial.paint_plane(painter, plane, z_slice, mesh=mesh,
                               rng=rng, z_mode=z_mode)
-    return np.asarray(out)
+    return out if device_output else np.asarray(out)
 
 
 def paint_plane_from_massplane(painter, massplane: np.ndarray,
@@ -218,13 +222,24 @@ def paint_plane_from_massplane(painter, massplane: np.ndarray,
                                n_pixel_tile: int,
                                massplane_size: float = slics_io.MASSPLANE_SIZE,
                                subtract_minimum: bool = False,
-                               zoom_order: int = 3):
+                               zoom_order: int = 3,
+                               pre_extracted: bool = False,
+                               device_output: bool = False):
     """Low-z branch: the tile is bigger than the delta plane
     (process_SLICS.py:150-176). Extract an expanded tile from the mass
-    plane, paint it, crop back to the delta footprint."""
-    tile = get_tile(massplane, shift,
-                    tile_relative_size=delta_size / massplane_size,
-                    expansion_factor=tile_size / delta_size)
+    plane, paint it, crop back to the delta footprint.
+
+    ``pre_extracted=True``: ``massplane`` already IS the expanded tile
+    (host-side crop before upload — process_slics extracts the
+    ``tile_size/massplane_size`` window from the raw 12288^2 plane on the
+    host so only ~(tile_size/505)^2 of the 600 MB plane crosses the
+    host->device link; bit-identical values, same wrap arithmetic)."""
+    if pre_extracted:
+        tile = massplane
+    else:
+        tile = get_tile(massplane, shift,
+                        tile_relative_size=delta_size / massplane_size,
+                        expansion_factor=tile_size / delta_size)
     if subtract_minimum:
         tile = tile - tile.min()
     tile = resize_spline(jnp.asarray(tile[None], jnp.float32),
@@ -232,8 +247,9 @@ def paint_plane_from_massplane(painter, massplane: np.ndarray,
                          order=zoom_order, mode="mirror")
     painted = painter.paint_batch(tile, jnp.full(1, z_slice, jnp.float32))[0]
     frac = delta_size / tile_size
-    return np.asarray(get_tile(painted, ((1 - frac) / 2, (1 - frac) / 2),
-                               tile_relative_size=frac))
+    out = get_tile(painted, ((1 - frac) / 2, (1 - frac) / 2),
+                   tile_relative_size=frac)
+    return out if device_output else np.asarray(out)
 
 
 def process_slics(painter, tile_size: float, n_pixel_tile: int,
@@ -254,6 +270,7 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                   mesh=None,
                   transfer_dtype=None,
                   seamless: bool = False,
+                  device_output: bool = False,
                   ) -> List[np.ndarray]:
     """Full multi-shell pipeline; reference call contract
     (process_SLICS.py:128-226).
@@ -271,6 +288,10 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
         mesh is given) instead of overlap-tiling + weight blending — see
         :func:`paint_plane_seamless`. Incompatible with the tile-based
         regularise/return_problematic_tiles options.
+      * ``device_output``: return the painted planes as device arrays
+        instead of numpy. Feeding them straight into ``create_y_map``
+        (which computes on device) skips a full D2H + H2D round trip of
+        every painted plane (~0.5 GB/LOS over a network-attached chip).
     """
     if seamless and (regularise or return_problematic_tiles):
         raise ValueError("seamless painting has no tiles to regularise; "
@@ -304,13 +325,15 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
         return (raw.T.astype(jnp.float32) + 96.0) * slics_io.SLICS_NORM
 
     @jax.jit
-    def _prep_massplane(raw):
-        return raw.T.astype(jnp.float32) * slics_io.SLICS_NORM
+    def _prep_massplane_tile(raw):
+        return raw.astype(jnp.float32) * slics_io.SLICS_NORM
 
     def to_device(raw):
         if transfer_dtype is not None:
             raw = raw.astype(transfer_dtype)  # halve H2D bytes (bf16)
         return jnp.asarray(raw)
+
+    shifts_box = [None]  # parsed once, by the (single) IO worker
 
     def load_shell(i):
         z_shell = z_SLICS[i]
@@ -318,7 +341,17 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
             mp_file = slics_io.massplane_filename(massplane_path, z_shell,
                                                   LOS, i)
             raw = slics_io.load_massplane_raw(mp_file, n_pixel_massplane)
-            return "massplane", _prep_massplane(to_device(raw))
+            if shifts_box[0] is None:
+                shifts_box[0] = slics_io.load_random_shifts(shifts_path, LOS)
+            # Host-side crop BEFORE upload: only the expanded paint tile
+            # (~(tile_size/505)^2 of the 600 MB plane) crosses the link —
+            # same get_tile wrap arithmetic, bit-identical tile values.
+            # raw is the on-disk layout; .T is a view, np.ix_ gathers the
+            # tile as a small contiguous copy.
+            tile = get_tile(raw.T, shifts_box[0][i],
+                            tile_relative_size=delta_size[i] / massplane_size,
+                            expansion_factor=tile_size / delta_size[i])
+            return "massplane", _prep_massplane_tile(to_device(tile))
         if SLICS_density:
             plane = slics_io.load_density_fits(
                 slics_io.density_filename(delta_path, z_shell, LOS))
@@ -329,7 +362,6 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
 
     painted_planes = []
     problematic = []
-    shifts = None  # parsed once, first time a massplane shell needs it
     with ThreadPoolExecutor(max_workers=1) as pool:
         future = pool.submit(load_shell, 0)
         for i, z_shell in enumerate(z_SLICS):
@@ -339,18 +371,18 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
             if i + 1 < len(z_SLICS):
                 future = pool.submit(load_shell, i + 1)
             if kind == "massplane":
-                if shifts is None:
-                    shifts = slics_io.load_random_shifts(shifts_path, LOS)
                 painted_planes.append(paint_plane_from_massplane(
-                    painter, plane, shifts[i], z_slice[i],
+                    painter, plane, None, z_slice[i],
                     tile_size, delta_size[i], n_pixel_tile,
                     massplane_size=massplane_size,
-                    subtract_minimum=SLICS_density))
+                    subtract_minimum=SLICS_density,
+                    pre_extracted=True, device_output=device_output))
             elif seamless:
                 painted_planes.append(paint_plane_seamless(
                     painter, plane, z_slice[i], tile_size, delta_size[i],
                     n_pixel_tile, mesh=mesh,
-                    rng=jax.random.PRNGKey(1000 * LOS + i)))
+                    rng=jax.random.PRNGKey(1000 * LOS + i),
+                    device_output=device_output))
             else:
                 out = paint_plane(painter, plane, z_slice[i], tile_size,
                                   delta_size[i], n_pixel_tile,
@@ -359,7 +391,7 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                                   regularise=regularise,
                                   regularise_std=regularise_std,
                                   collect_problematic=return_problematic_tiles,
-                                  mesh=mesh)
+                                  mesh=mesh, device_output=device_output)
                 if return_problematic_tiles:
                     out, probs = out
                     problematic.extend(probs)

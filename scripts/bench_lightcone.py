@@ -164,7 +164,12 @@ def main():
             shifts_path=os.path.join(WORKDIR, "random_shifts"),
             z_slice=z_slice, min_tiling_overlap=0.2, verbose=True,
             paint_batch_size=16, transfer_dtype=transfer_dtype,
-            seamless=seamless)
+            seamless=seamless,
+            # keep painted planes on device: create_y_map computes on
+            # device anyway, so returning numpy planes would round-trip
+            # ~0.5 GB/LOS over the tunnel for nothing (BPT_LC_HOST_PLANES=1
+            # restores the old behavior for A/B)
+            device_output=os.environ.get("BPT_LC_HOST_PLANES") != "1")
         y = create_y_map(planes, z_arr, resolution=1549, map_size=10.0,
                          cosmo=cosmo, order=3)
         return planes, y

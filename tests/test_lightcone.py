@@ -207,6 +207,47 @@ def test_process_slics_end_to_end(tmp_path, rng):
                       "", "", "", z_slice=[0.0])
 
 
+def test_massplane_host_crop_matches_full_plane(rng):
+    """process_slics crops the massplane on the HOST before upload; the
+    painted plane must be bit-identical to the old extract-on-device path
+    (same get_tile wrap arithmetic, NORM applied after the crop)."""
+    from baryon_painter_tpu.lightcone import io as slics_io
+    from baryon_painter_tpu.lightcone.tiling import get_tile
+
+    raw = rng.standard_normal((96, 96)).astype(np.float32)  # disk layout
+    shift, delta_size, tile_size, mp_size = (0.37, 0.81), 60.0, 100.0, 505.0
+    # old path: full plane -> device-style prep -> get_tile on the plane
+    full = raw.T.astype(np.float32) * slics_io.SLICS_NORM
+    old = paint_plane_from_massplane(
+        StubPainter(), full, shift, z_slice=0.04, tile_size=tile_size,
+        delta_size=delta_size, n_pixel_tile=64, massplane_size=mp_size,
+        zoom_order=1)
+    # new path: host crop of the raw layout, NORM after
+    tile = get_tile(raw.T, shift, tile_relative_size=delta_size / mp_size,
+                    expansion_factor=tile_size / delta_size)
+    new = paint_plane_from_massplane(
+        StubPainter(), tile.astype(np.float32) * slics_io.SLICS_NORM, None,
+        z_slice=0.04, tile_size=tile_size, delta_size=delta_size,
+        n_pixel_tile=64, massplane_size=mp_size, zoom_order=1,
+        pre_extracted=True)
+    np.testing.assert_array_equal(old, new)
+
+
+def test_paint_plane_device_output_matches(rng):
+    """device_output=True returns the same values as the numpy path (it
+    only skips the host conversion)."""
+    import jax
+
+    delta = rng.standard_normal((80, 80)).astype(np.float32)
+    kw = dict(z_slice=0.5, tile_size=100.0, delta_size=125.0,
+              n_pixel_tile=64, min_tile_overlap=0.5, zoom_order=1)
+    a = paint_plane(StubPainter(), delta, **kw)
+    b = paint_plane(StubPainter(), delta, device_output=True, **kw)
+    assert isinstance(a, np.ndarray)
+    assert isinstance(b, jax.Array)
+    np.testing.assert_array_equal(a, np.asarray(b))
+
+
 # --------------------------------------------------------------------- #
 # y-map assembly
 # --------------------------------------------------------------------- #
