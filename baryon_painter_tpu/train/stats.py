@@ -3,7 +3,7 @@
 Re-implements the reference's ``TrainingStats`` (painter.py:447-545): ordered
 loss terms with full history + moving averages, buffered text-file dumps in
 the SAME file format (header '# Batch nr, sample nr, <terms>'; rows
-'<batch> <sample> <values...>' — see trained_models/CVAE/fiducial/
+'<batch> <sample> <values...>' — see trained_models/CVAE/fiducial-512/
 training_stats.txt), and console pretty-printing. Plotting is decoupled
 (SURVEY §2 quirk 5): ``plot_loss`` imports matplotlib lazily.
 """

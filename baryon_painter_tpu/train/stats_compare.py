@@ -1,7 +1,7 @@
 """Compare training-stats trajectories against reference-published logs.
 
 The reference ships its fiducial training history as a text log
-(``trained_models/CVAE/fiducial/training_stats.txt``, format defined at
+(``trained_models/CVAE/fiducial-512/training_stats.txt``, format defined at
 painter.py:462-463: ``# Batch nr, sample nr, <terms>`` header + whitespace
 rows). Our :class:`~baryon_painter_tpu.train.stats.TrainingStats` writes the
 same format, so convergence trajectories are directly diffable.

@@ -502,7 +502,7 @@ def main():
         n_steps = 0
 
     # reference-format training_stats.txt next to the checkpoint so trained
-    # artifacts ship with their loss history (trained_models/CVAE/fiducial/
+    # artifacts ship with their loss history (trained_models/CVAE/fiducial-512/
     # training_stats.txt layout; appended across --resume phases)
     stats = None
     if not args.eval_only:

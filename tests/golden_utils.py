@@ -13,7 +13,11 @@ GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "paint_goldens.npz")
 
 # (name, checkpoint base, painter kind, tile size, n tiles)
 MODELS = [
-    ("cvae_fiducial", "trained_models/CVAE/fiducial/model", "cvae", 256, 2),
+    # archived (gate NEAR-MISS, trained_models/archive/README.md) but the
+    # frozen bits still pin the transposed-conv paint path
+    ("cvae_fiducial",
+     "trained_models/archive/CVAE-fiducial-transpose-256/model", "cvae",
+     256, 2),
     ("cvae_resize", "trained_models/CVAE/fiducial-resize/model", "cvae",
      256, 2),
     ("cvae_512", "trained_models/CVAE/fiducial-512/model", "cvae", 512, 1),

@@ -136,7 +136,8 @@ def test_committed_checkpoint_loads_with_custom_layers():
     landed; its param tree must apply cleanly through the new layers."""
     import os
     base = os.path.join(os.path.dirname(__file__), os.pardir,
-                        "trained_models", "CVAE", "fiducial")
+                        "trained_models", "archive",
+                        "CVAE-fiducial-transpose-256")
     if not os.path.isdir(base):
         pytest.skip("no committed checkpoint")
     from baryon_painter_tpu.painter import CVAEPainter

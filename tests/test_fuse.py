@@ -194,7 +194,8 @@ def test_fused_painter_matches_on_committed_flagship():
     """End-to-end: the committed fiducial checkpoint painted fused vs
     unfused gives identical tiles (CVAEPainter fused_inference=True)."""
     from baryon_painter_tpu.painter import CVAEPainter
-    base = os.path.join(REPO, "trained_models", "CVAE", "fiducial", "model")
+    base = os.path.join(REPO, "trained_models", "archive",
+                        "CVAE-fiducial-transpose-256", "model")
     if not os.path.exists(base + "_state.msgpack"):
         pytest.skip("no committed flagship checkpoint")
     plain = CVAEPainter(base)
