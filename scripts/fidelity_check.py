@@ -273,6 +273,15 @@ def main():
                         "objective oscillates near its minimum, so the final "
                         "step is a lottery; select on the gate metric "
                         "max_z max(auto, cross) instead)")
+    p.add_argument("--select-within-run", action="store_true",
+                   help="with --resume --eval-every: do NOT seed the "
+                        "best-checkpoint selection with the restored "
+                        "state's own gate score. Use when the point of the "
+                        "leg is to demonstrate a property of THIS run's "
+                        "training (e.g. an adversarially-ON fine-tune "
+                        "whose best eval must come from adv-ON steps) — "
+                        "the default floor would silently hand the 'best' "
+                        "back to the restored pre-leg parameters")
     p.add_argument("--eval-only", action="store_true",
                    help="restore the checkpoint and report P(k) errors "
                         "without training (implies --resume)")
@@ -574,7 +583,8 @@ def main():
                 ",".join(f"z={z:g}" for z in sorted(binding)))
 
     best = (float("inf"), None)
-    if args.eval_every and args.resume and n_steps:
+    if (args.eval_every and args.resume and n_steps
+            and not args.select_within_run):
         if os.path.exists(ckpt_base + "_state.msgpack"):
             # seed the selection with the restored state's own gate score so
             # a refinement run can never regress the saved best checkpoint
