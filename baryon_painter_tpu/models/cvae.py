@@ -131,6 +131,63 @@ class CVAE(nn.Module):
         z = z_mu[None] + eps * (jnp.exp(z_log_var[None] / 2) + self.min_z_var)
         return z.reshape(-1, *z_mu.shape[1:])
 
+    def _heads_fusable(self, h) -> bool:
+        """Both output heads match the canonical (conv k7, prelu, conv k5,
+        prelu, conv k3[, softplus]) pattern at fused-kernel-compatible
+        shapes. Gated by BPT_FUSED_HEADS=1 (A/B flag; docs/roofline.md)."""
+        import os
+        if os.environ.get("BPT_FUSED_HEADS", "0") != "1":
+            return False
+        if not self.predict_var or self.is_initializing():
+            # init must run the unfused path so the parameter tree is
+            # created identically (the fused path only READS child params)
+            return False
+        if h.shape[1] % 4 or h.shape[2] % 4 or h.shape[1] < 32:
+            return False
+        heads = self.architecture["p_y_z_out"]
+        for spec in heads:
+            names = [str(l[0]).lower() for l in spec]
+            if names[:5] != ["conv", "prelu", "conv", "prelu", "conv"]:
+                return False
+            ks = [l[1]["kernel_size"] for l in spec if l[0] == "conv"]
+            ps = [l[1]["padding"] for l in spec if l[0] == "conv"]
+            ss = [l[1].get("stride", 1) for l in spec if l[0] == "conv"]
+            bs = [l[1].get("bias", True) for l in spec if l[0] == "conv"]
+            if (ks, ps, ss) != ([7, 5, 3], [3, 2, 1], [1, 1, 1]) or any(bs):
+                return False
+            if [l[1]["out_channels"] for l in spec if l[0] == "conv"] != \
+                    [8, 1, 1]:
+                return False
+        return True
+
+    def _fused_heads(self, h):
+        """Run both output heads through the fused train-mode Pallas stack
+        (ops/pallas_head_stack.py): the 512^2 head input is read once per
+        (sample, head) instead of XLA's many HBM round trips (~20% of
+        decoder fwd+bwd bytes, docs/ab/pnet_breakdown_r4.json). Parameters
+        are READ from the existing child modules, so checkpoints and the
+        parameter tree are identical to the unfused path."""
+        from baryon_painter_tpu.ops.pallas_head_stack import head_stack
+        pm = self.p_mu_out.variables["params"]
+        pv = self.p_var_out.variables["params"]
+        stack = lambda key, sub: jnp.stack([pm[sub][key], pv[sub][key]])
+        w1 = stack("kernel", "Conv2d_0")
+        w2 = stack("kernel", "Conv2d_1")
+        w3 = stack("kernel", "Conv2d_2")
+        alphas = jnp.stack(
+            [jnp.stack([pm["PReLU_0"]["negative_slope"],
+                        pm["PReLU_1"]["negative_slope"]]),
+             jnp.stack([pv["PReLU_0"]["negative_slope"],
+                        pv["PReLU_1"]["negative_slope"]])])
+        # interpret mode keeps the path testable on the CPU mesh; the
+        # Mosaic lowering only exists on TPU
+        out = head_stack(h, w1, w2, w3, alphas, (3, 2, 1),
+                         jax.default_backend() != "tpu")
+        # head 0 (mu) ends in softplus; head 1 (log-var) is raw conv output
+        x_mu = jax.nn.softplus(out[:, 0])[..., None]
+        x_log_var = out[:, 1][..., None]
+        return x_mu.astype(h.dtype), x_log_var.astype(h.dtype)
+
     def P(self, z, y, aux_label=None, L: int = 1, train: bool = True):
         y = self._merge_aux(y, aux_label)
         h_y = self.p_y_in(y, train=train)
@@ -138,6 +195,8 @@ class CVAE(nn.Module):
         h_y = jnp.tile(h_y, (L, 1, 1, 1))
         h = jnp.concatenate([h_z, h_y], axis=-1)
         h = self.p_y_z_in(h, train=train)
+        if self._heads_fusable(h):
+            return self._fused_heads(h)
         x_mu = self.p_mu_out(h, train=train)
         if self.predict_var:
             x_log_var = self.p_var_out(h, train=train)
