@@ -133,7 +133,11 @@ def main():
         shifts_path=shifts_path, z_slice=z_slice[:n_z],
         min_tiling_overlap=args.tile_overlap,
         paint_batch_size=args.paint_batch_size,
-        mesh=mesh, transfer_dtype=transfer_dtype, seamless=args.seamless)
+        mesh=mesh, transfer_dtype=transfer_dtype, seamless=args.seamless,
+        # keep painted planes on device unless they are written to disk:
+        # create_y_map computes on device, so numpy planes would pay a
+        # ~0.5 GB/LOS D2H + H2D round trip for nothing
+        device_output=not args.output_file_planes)
 
     res = args.output_resolution
     y_map = create_y_map(painted_planes, z_SLICS[:n_z], resolution=res,
