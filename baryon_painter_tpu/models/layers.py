@@ -71,7 +71,7 @@ class Conv2d(nn.Module):
     kernel_init: Any = torch_conv_init
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         k, s, p = self.kernel_size, self.stride, self.padding
         cin = x.shape[-1]
         out_h = (x.shape[1] + 2 * p - k) // s + 1
@@ -82,6 +82,11 @@ class Conv2d(nn.Module):
                 f"small for this architecture.")
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
+        if return_kernel:
+            # fused-train-conv path (SpecSequential): the caller computes
+            # the conv inside a Pallas kernel from this module's parameter
+            # — same name/shape, no compute here
+            return kernel
         dtype = self.dtype or x.dtype
         # Prefer the deeper r=4 space-to-depth: it needs fewer MXU tile ops
         # AND moves fewer bytes than r=2 (A/B r3: fwd+bwd 102.8 ms / 70.9 GB
@@ -133,11 +138,13 @@ class ConvTranspose2d(nn.Module):
     kernel_init: Any = torch_conv_init
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         k, s, p = self.kernel_size, self.stride, self.padding
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
+        if return_kernel:
+            return kernel  # fused-train-conv path; see Conv2d
         dtype = self.dtype or x.dtype
         pad = k - 1 - p
         if pad < 0:
@@ -248,14 +255,33 @@ class BatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
+    def __call__(self, x, fused_stats=None, params_only: bool = False,
+                 n_features: Optional[int] = None):
+        """Normal mode: normalize x. Fused-train-conv modes (the conv+BN+act
+        Pallas kernel computes the normalize itself; ops/pallas_conv_bn.py):
+        ``params_only=True`` returns (scale, bias) without compute;
+        ``fused_stats=(batch_mean, batch_var)`` records the kernel-computed
+        statistics into the running averages and returns None. Both modes
+        declare the identical parameters/variables, so the tree matches the
+        normal path (``n_features`` supplies C when x is None)."""
+        c = x.shape[-1] if x is not None else n_features
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if params_only:
+            return gamma, beta
+        if fused_stats is not None:
+            mu, var = fused_stats
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value
+                                 + (1 - m) * jax.lax.stop_gradient(mu))
+                ra_var.value = (m * ra_var.value
+                                + (1 - m) * jax.lax.stop_gradient(var))
+            return None
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         if self.use_running_average:
@@ -462,12 +488,77 @@ class SpecSequential(nn.Module):
             return nn.SpectralNorm(module)
         return module
 
+    def _train_conv_fusion(self, spec, i, x, train):
+        """When layers (i, i+1, i+2) form a fusable (conv|transp conv,
+        batchnorm, relu) triple under BPT_FUSED_TRAIN_CONV=1, return
+        ("transp"|"s2d", k, s, p, cout); else None. See
+        ops/pallas_conv_bn.py and docs/ab/pnet_breakdown_r4.json (the up
+        chain + input conv carry ~56% of decoder fwd+bwd bytes)."""
+        if os.environ.get("BPT_FUSED_TRAIN_CONV", "0") != "1":
+            return None
+        if (not train or self.is_initializing() or self.spectral_norm
+                or os.environ.get("BPT_FLAX_BN", "").lower()
+                not in ("", "0", "false")):
+            return None
+        if i + 2 >= len(spec):
+            return None
+        if (str(spec[i + 1][0]).lower() != "batchnorm"
+                or str(spec[i + 2][0]).lower() != "relu"):
+            return None
+        cfg = spec[i][1]
+        if cfg.get("bias", True):
+            return None
+        k = cfg["kernel_size"]
+        s = cfg.get("stride", 1)
+        p = cfg.get("padding", 0)
+        cin, cout = x.shape[-1], cfg["out_channels"]
+        kind = str(spec[i][0]).lower()
+        if kind == "transp conv":
+            if (cfg.get("output_padding", 0) == 0
+                    and _cr.transp_conv_rewrite_applicable(k, s, p, 0)
+                    and x.shape[1] * s % 8 == 0):
+                return ("transp", k, s, p, cout)
+            return None
+        r = 4
+        if (_cr.s2d_rewrite_applicable(k, s, p, x.shape[1], x.shape[2],
+                                       cin, r)
+                and _cr.s2d_rewrite_profitable(k, cin, cout, r)):
+            return ("s2d", k, s, p, cout)
+        return None
+
+    def _apply_fused_train_conv(self, m, x, fuse, train):
+        import jax as _jax
+
+        from baryon_painter_tpu.ops.pallas_conv_bn import fused_conv_bn_relu
+        kind, k, s, p, cout = fuse
+        dtype = self.dtype or x.dtype
+        w = m(x, return_kernel=True)
+        if kind == "transp":
+            w2 = _cr._transp_kernel_3window(w.astype(dtype), s, p)
+            in_radix, out_radix = 0, s
+        else:
+            w2 = _cr._s2d_kernel_3window(w.astype(dtype), 4, p)
+            in_radix, out_radix = 4, 4
+        bn = BatchNorm(use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+        gamma, beta = bn(None, params_only=True, n_features=cout)
+        y, mu, var = fused_conv_bn_relu(
+            x.astype(dtype), w2, gamma, beta, in_radix, out_radix, 1e-5,
+            _jax.default_backend() != "tpu")
+        bn(None, fused_stats=(mu, var), n_features=cout)
+        return y
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.spec is None:
             return x
         sn_kw = {"update_stats": train} if self.spectral_norm else {}
-        for layer in self.spec:
+        spec = list(self.spec)
+        i = -1
+        skip_until = 0
+        for i, layer in enumerate(spec):
+            if i < skip_until:
+                continue
             name = layer[0]
             config = layer[1] if len(layer) > 1 else None
             lname = name.lower() if isinstance(name, str) else name
@@ -479,6 +570,11 @@ class SpecSequential(nn.Module):
                     padding=config.get("padding", 0),
                     use_bias=config.get("bias", True),
                     dtype=self.dtype, kernel_init=self.kernel_init))
+                fuse = self._train_conv_fusion(spec, i, x, train)
+                if fuse is not None:
+                    x = self._apply_fused_train_conv(m, x, fuse, train)
+                    skip_until = i + 3  # consumed batchnorm + relu
+                    continue
                 x = m(x, **sn_kw) if sn_kw else m(x)
             elif lname == "transp conv":
                 m = self._wrap(ConvTranspose2d(
@@ -489,6 +585,11 @@ class SpecSequential(nn.Module):
                     output_padding=config.get("output_padding", 0),
                     use_bias=config.get("bias", True),
                     dtype=self.dtype, kernel_init=self.kernel_init))
+                fuse = self._train_conv_fusion(spec, i, x, train)
+                if fuse is not None:
+                    x = self._apply_fused_train_conv(m, x, fuse, train)
+                    skip_until = i + 3
+                    continue
                 x = m(x, **sn_kw) if sn_kw else m(x)
             elif lname == "linear":
                 m = self._wrap(nn.Dense(features=config["out_features"],
