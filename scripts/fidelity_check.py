@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+# Per-(dataset, z, seed, n) cache of everything eval-invariant: the device
+# DM batch, the truth auto/cross spectra (binned means), and the truth
+# summary scalars. The gate evaluates the SAME validation tiles at every
+# eval (sampling is deterministic in seed), so without this every eval
+# re-paid ~100 MB of host<->device traffic and the truth FFTs per
+# (dtype, z) leg — ~4-5 min per gate eval over a tunneled chip, several
+# times per fine-tune leg.
+_PK_TRUTH_CACHE = {}
+
+
 def pk_errors(painter, ds, n_sample=48, seed=0, z=None, matmul_precision=None):
     """P(k) fractional errors of painted-vs-truth tiles.
 
@@ -29,39 +39,58 @@ def pk_errors(painter, ds, n_sample=48, seed=0, z=None, matmul_precision=None):
     bf16-selected checkpoint scored 0.046 on the default-precision
     "f32" leg but 0.10 in genuine f32). The context is part of JAX's
     trace context, so jitted paint graphs specialize correctly per leg.
+
+    Everything stays on device (paint -> clip -> FFT spectra); only the
+    binned spectra cross to the host.
     """
     import contextlib
 
     import jax
+    import jax.numpy as jnp
     from baryon_painter_tpu.power_spectrum import pseudo_pofk_2d
 
-    rng = np.random.default_rng(seed)
-    idx = ds.sample_indices(rng, n_sample, z=z)
-    batch = ds.get_raw_batch(idx)
-    truth = batch["labels"][0]
-    dm = batch["input"]
+    key = (id(ds), z, seed, n_sample)
+    cached = _PK_TRUTH_CACHE.get(key)
+    if cached is None:
+        rng = np.random.default_rng(seed)
+        idx = ds.sample_indices(rng, n_sample, z=z)
+        batch = ds.get_raw_batch(idx)
+        truth = batch["labels"][0]
+        dm_dev = jax.device_put(jnp.asarray(batch["input"], jnp.float32))
+        truth_dev = jnp.asarray(truth, jnp.float32)
+        pk_t, _, _, nm = pseudo_pofk_2d(truth_dev, L=ds.tile_L, n_k_bin=12)
+        pk_ct, *_ = pseudo_pofk_2d(truth_dev, dm_dev, L=ds.tile_L,
+                                   n_k_bin=12)
+        occ = np.asarray(nm) > 0
+        cached = {
+            "dm": dm_dev, "zs": jnp.asarray(batch["z"], jnp.float32),
+            "occ": occ,
+            "pk_t": np.asarray(pk_t).mean(0)[occ],
+            "pk_ct": np.asarray(pk_ct).mean(0)[occ],
+            "truth_max": float(truth.max()),
+            "truth_mean": float(truth.mean()),
+            "truth_std": float(truth.std()),
+        }
+        _PK_TRUTH_CACHE[key] = cached
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
     with ctx:
-        painted = np.asarray(painter.paint_batch(
-            batch["input"], batch["z"], rng=jax.random.PRNGKey(seed)))
-    pk_t, k, _, nm = pseudo_pofk_2d(truth, L=ds.tile_L, n_k_bin=12)
-    pk_p, _, _, _ = pseudo_pofk_2d(painted, L=ds.tile_L, n_k_bin=12)
-    occ = np.asarray(nm) > 0
-    auto = np.abs(np.asarray(pk_p).mean(0)[occ]
-                  / np.asarray(pk_t).mean(0)[occ] - 1)
+        painted = painter.paint_batch(cached["dm"], cached["zs"],
+                                      rng=jax.random.PRNGKey(seed))
+    painted = painted.astype(jnp.float32)
+    occ = cached["occ"]
+    pk_p, *_ = pseudo_pofk_2d(painted, L=ds.tile_L, n_k_bin=12)
+    auto = np.abs(np.asarray(pk_p).mean(0)[occ] / cached["pk_t"] - 1)
     # tail-clipped variant: cap painted pixels at the truth's max (the
     # reference's outlier-regularisation rationale, process_SLICS.py:212-216)
-    painted_cl = np.clip(painted, None, truth.max())
+    painted_cl = jnp.clip(painted, None, cached["truth_max"])
     pk_c, *_ = pseudo_pofk_2d(painted_cl, L=ds.tile_L, n_k_bin=12)
-    auto_cl = np.abs(np.asarray(pk_c).mean(0)[occ]
-                     / np.asarray(pk_t).mean(0)[occ] - 1)
-    pk_ct, *_ = pseudo_pofk_2d(truth, dm, L=ds.tile_L, n_k_bin=12)
-    pk_cp, *_ = pseudo_pofk_2d(painted, dm, L=ds.tile_L, n_k_bin=12)
-    cross = np.abs(np.asarray(pk_cp).mean(0)[occ]
-                   / np.asarray(pk_ct).mean(0)[occ] - 1)
-    diag = {"mean_ratio": float(painted.mean() / truth.mean()),
-            "std_ratio": float(painted.std() / truth.std()),
+    auto_cl = np.abs(np.asarray(pk_c).mean(0)[occ] / cached["pk_t"] - 1)
+    pk_cp, *_ = pseudo_pofk_2d(painted, cached["dm"], L=ds.tile_L,
+                               n_k_bin=12)
+    cross = np.abs(np.asarray(pk_cp).mean(0)[occ] / cached["pk_ct"] - 1)
+    diag = {"mean_ratio": float(jnp.mean(painted)) / cached["truth_mean"],
+            "std_ratio": float(jnp.std(painted)) / cached["truth_std"],
             "auto_clipped": float(np.median(auto_cl))}
     return float(np.median(auto)), float(np.median(cross)), diag
 
