@@ -512,6 +512,10 @@ class SpecSequential(nn.Module):
         s = cfg.get("stride", 1)
         p = cfg.get("padding", 0)
         cin, cout = x.shape[-1], cfg["out_channels"]
+        if cout < 8:
+            # tiny-channel layers (e.g. the 1-channel p_z_in upsamplers)
+            # gain nothing and produce Mosaic-hostile partial shapes
+            return None
         kind = str(spec[i][0]).lower()
         if kind == "transp conv":
             if (cfg.get("output_padding", 0) == 0

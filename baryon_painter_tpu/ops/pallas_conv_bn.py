@@ -65,12 +65,15 @@ def _u_conv(x, w2, in_radix):
 
 
 def _stats_kernel(x_ref, w2_ref, s1_ref, s2_ref, *, in_radix, n_phase):
+    i = pl.program_id(0)
     u = _u_conv(x_ref[0], w2_ref[:], in_radix)
     hc, wc, pc = u.shape
     c = pc // n_phase
     ur = u.reshape(hc * wc, n_phase, c)
-    s1_ref[0] = ur.sum((0, 1))
-    s2_ref[0] = (ur * ur).sum((0, 1))
+    # s1/s2 are whole-(N, C) VMEM blocks (Mosaic's block rule forbids a
+    # (1, C) row block when N isn't 8-aligned); each program writes row i
+    s1_ref[i] = ur.sum((0, 1))
+    s2_ref[i] = (ur * ur).sum((0, 1))
 
 
 def _fwd_kernel(x_ref, w2_ref, a_ref, b_ref, y_ref, *, in_radix, n_phase,
@@ -97,8 +100,9 @@ def _bwd1_kernel(x_ref, w2_ref, a_ref, b_ref, mean_ref, inv_ref, dy_ref,
         * _tile_phases(inv_ref[:], n_phase)
     hc, wc, pc = u.shape
     c = pc // n_phase
-    g1_ref[0] = dv.reshape(hc * wc, n_phase, c).sum((0, 1))
-    g2_ref[0] = (dv * uhat).reshape(hc * wc, n_phase, c).sum((0, 1))
+    i = pl.program_id(0)
+    g1_ref[i] = dv.reshape(hc * wc, n_phase, c).sum((0, 1))
+    g2_ref[i] = (dv * uhat).reshape(hc * wc, n_phase, c).sum((0, 1))
 
 
 def _bwd2_kernel(x_ref, w2_ref, w2b_ref, a_ref, b_ref, mean_ref, inv_ref,
@@ -174,8 +178,7 @@ def _fused_fwd_impl(x, w2, gamma, beta, in_radix, out_radix, eps, interpret):
             grid=(n,),
             in_specs=[_bspec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0)),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=[_bspec((1, c), lambda i: (i, 0)),
-                       _bspec((1, c), lambda i: (i, 0))]),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2),
         out_shape=[jax.ShapeDtypeStruct((n, c), jnp.float32)] * 2,
         compiler_params=_vmem(), interpret=interpret)(x, w2)
     mean = s1.sum(0) / n_count
@@ -227,8 +230,7 @@ def _fused_vjp_bwd(in_radix, out_radix, eps, interpret, res, cts):
             in_specs=[_bspec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0)),
                       vec, vec, vec, vec, vec,
                       _bspec((1, hf, wf, c), lambda i: (i, 0, 0, 0))],
-            out_specs=[_bspec((1, c), lambda i: (i, 0)),
-                       _bspec((1, c), lambda i: (i, 0))]),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2),
         out_shape=[jax.ShapeDtypeStruct((n, c), f32)] * 2,
         compiler_params=_vmem(), interpret=interpret)(
             x, w2, a.astype(f32), b.astype(f32), mean.astype(f32),

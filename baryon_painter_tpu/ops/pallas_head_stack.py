@@ -111,22 +111,26 @@ def _chain_fwd(x_s2d, w1, w2, w3, a1, a2, dtype):
 
 
 def _fwd_kernel(x_ref, w1_ref, w2_ref, w3_ref, al_ref, out_ref):
+    h = pl.program_id(1)
     x = x_ref[0]
     xs = _s2d_hw(x, R)
+    # al_ref is the whole (n_heads, 2) array (a (1, 2) row block violates
+    # Mosaic's 8-aligned second-to-last block rule)
     _, _, _, _, u2 = _chain_fwd(xs, w1_ref[0], w2_ref[0], w3_ref[0],
-                                al_ref[0, 0], al_ref[0, 1], x.dtype)
+                                al_ref[h, 0], al_ref[h, 1], x.dtype)
     out_ref[0, 0] = _d2s_hw(u2, R)[:, :, 0]
 
 
 def _bwd_kernel(x_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
                 b3_ref, al_ref, dx_ref, dw1_ref, dw2_ref, dw3_ref, dal_ref):
+    i = pl.program_id(0)
     h = pl.program_id(1)
     x = x_ref[0]
     dtype = x.dtype
     xs = _s2d_hw(x, R)
     xsp = _pad1(xs)
     w1, w2, w3 = w1_ref[0], w2_ref[0], w3_ref[0]
-    a1, a2 = al_ref[0, 0], al_ref[0, 1]
+    a1, a2 = al_ref[h, 0], al_ref[h, 1]
     u0, v0, u1, v1, _ = _chain_fwd(xs, w1, w2, w3, a1, a2, dtype)
 
     # cotangent of the head's fine-grid output channel, into s2d space
@@ -146,7 +150,7 @@ def _bwd_kernel(x_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
     # conv1 backward
     dw1_ref[0, 0] = _wgrad_mm(xsp, du0.astype(dtype))
     dxs = _nine_mm(_pad1(du0.astype(dtype)), b1_ref[0])
-    dal_ref[0, 0] = jnp.stack([dal1, dal2])
+    dal_ref[i, h] = jnp.stack([dal1, dal2])  # whole-array block
 
     dx_h = _d2s_hw(dxs, R)
 
@@ -204,8 +208,7 @@ def _head_stack_core(x, tw1, tw2, tw3, alphas, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + tw3.shape[1:], lambda i, h: (h, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i, h: (h, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, H, W), lambda i, h: (i, h, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -254,8 +257,7 @@ def _head_stack_bwd(pads, interpret, res, dy):
             pl.BlockSpec((1, 1, H, W), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
             *wspec,
-            pl.BlockSpec((1, 2), lambda i, h: (h, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, H, W, cin), lambda i, h: (i, 0, 0, 0),
@@ -269,8 +271,7 @@ def _head_stack_bwd(pads, interpret, res, dy):
             pl.BlockSpec((1, 1) + tw3.shape[1:],
                          lambda i, h: (i, h, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2), lambda i, h: (i, h, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
     dx, dtw1, dtw2, dtw3, dal = pl.pallas_call(
