@@ -110,31 +110,30 @@ def _chain_fwd(x_s2d, w1, w2, w3, a1, a2, dtype):
     return u0, v0, u1, v1, u2
 
 
-def _fwd_kernel(x_ref, w1_ref, w2_ref, w3_ref, al_ref, out_ref):
+def _fwd_kernel(xs_ref, w1_ref, w2_ref, w3_ref, al_ref, out_ref):
     h = pl.program_id(1)
-    x = x_ref[0]
-    xs = _s2d_hw(x, R)
+    xs = xs_ref[0]  # pre-space-to-depth'd input (wrapper; Mosaic cannot
+    # lower the lane-dim s2d reshape in-kernel)
     # al_ref is the whole (n_heads, 2) array (a (1, 2) row block violates
     # Mosaic's 8-aligned second-to-last block rule)
     _, _, _, _, u2 = _chain_fwd(xs, w1_ref[0], w2_ref[0], w3_ref[0],
-                                al_ref[h, 0], al_ref[h, 1], x.dtype)
-    out_ref[0, 0] = _d2s_hw(u2, R)[:, :, 0]
+                                al_ref[h, 0], al_ref[h, 1], xs.dtype)
+    out_ref[0, 0] = u2  # coarse phase layout; d2s happens in the wrapper
 
 
-def _bwd_kernel(x_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
+def _bwd_kernel(xs_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
                 b3_ref, al_ref, dx_ref, dw1_ref, dw2_ref, dw3_ref, dal_ref):
     i = pl.program_id(0)
     h = pl.program_id(1)
-    x = x_ref[0]
-    dtype = x.dtype
-    xs = _s2d_hw(x, R)
+    xs = xs_ref[0]
+    dtype = xs.dtype
     xsp = _pad1(xs)
     w1, w2, w3 = w1_ref[0], w2_ref[0], w3_ref[0]
     a1, a2 = al_ref[h, 0], al_ref[h, 1]
     u0, v0, u1, v1, _ = _chain_fwd(xs, w1, w2, w3, a1, a2, dtype)
 
-    # cotangent of the head's fine-grid output channel, into s2d space
-    g2 = _s2d_hw(dy_ref[0, 0][:, :, None], R).astype(jnp.float32)
+    # cotangent of the head's output, already in coarse phase layout
+    g2 = dy_ref[0, 0].astype(jnp.float32)
 
     # conv3 backward
     dw3_ref[0, 0] = _wgrad_mm(_pad1(v1), g2.astype(dtype))
@@ -152,7 +151,7 @@ def _bwd_kernel(x_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
     dxs = _nine_mm(_pad1(du0.astype(dtype)), b1_ref[0])
     dal_ref[i, h] = jnp.stack([dal1, dal2])  # whole-array block
 
-    dx_h = _d2s_hw(dxs, R)
+    dx_h = dxs  # coarse phase layout; d2s in the wrapper
 
     @pl.when(h == 0)
     def _init():
@@ -194,13 +193,14 @@ def head_stack(x, w1, w2, w3, alphas, pads=(3, 2, 1), interpret=False):
     return y
 
 
-def _head_stack_core(x, tw1, tw2, tw3, alphas, interpret):
-    n, H, W, cin = x.shape
+def _head_stack_core(xs, tw1, tw2, tw3, alphas, interpret):
+    n, hc, wc, cs = xs.shape
     nh = tw1.shape[0]
+    c_out = tw3.shape[-1]
     grid_spec = pl.GridSpec(
         grid=(n, nh),
         in_specs=[
-            pl.BlockSpec((1, H, W, cin), lambda i, h: (i, 0, 0, 0),
+            pl.BlockSpec((1, hc, wc, cs), lambda i, h: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + tw1.shape[1:], lambda i, h: (h, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -210,31 +210,47 @@ def _head_stack_core(x, tw1, tw2, tw3, alphas, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, H, W), lambda i, h: (i, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, hc, wc, c_out),
+                               lambda i, h: (i, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _fwd_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, nh, H, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, nh, hc, wc, c_out), xs.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x, tw1, tw2, tw3, alphas)
+    )(xs, tw1, tw2, tw3, alphas)
 
 
 def _head_stack_fwd(x, w1, w2, w3, alphas, pads, interpret):
+    from baryon_painter_tpu.ops.conv_rewrites import (_depth_to_space,
+                                                      _space_to_depth)
     tw1, tw2, tw3 = _transform_weights([w1, w2, w3], pads)
     dt = x.dtype
-    y = _head_stack_core(x, tw1.astype(dt), tw2.astype(dt), tw3.astype(dt),
-                         alphas.astype(jnp.float32), interpret)
+    n, H, W, cin = x.shape
+    nh = w1.shape[0]
+    xs = _space_to_depth(x, R)
+    yc = _head_stack_core(xs, tw1.astype(dt), tw2.astype(dt),
+                          tw3.astype(dt), alphas.astype(jnp.float32),
+                          interpret)
+    y = _depth_to_space(yc.reshape(n * nh, H // R, W // R, R * R),
+                        R).reshape(n, nh, H, W)
     return y, (x, w1, w2, w3, alphas)
 
 
 def _head_stack_bwd(pads, interpret, res, dy):
+    from baryon_painter_tpu.ops.conv_rewrites import (_depth_to_space,
+                                                      _space_to_depth)
     x, w1, w2, w3, alphas = res
     n, H, W, cin = x.shape
+    hc, wc = H // R, W // R
     nh = w1.shape[0]
     dt = x.dtype
+    xs = _space_to_depth(x, R)
+    dyc = _space_to_depth(
+        dy.astype(dt).reshape(n * nh, H, W, 1), R).reshape(
+            n, nh, hc, wc, R * R)
 
     def tf(ws):
         return _transform_weights(ws, pads)
@@ -249,18 +265,20 @@ def _head_stack_bwd(pads, interpret, res, dy):
                           (lambda i, h: (h, 0, 0, 0, 0)),
                           memory_space=pltpu.VMEM)
              for t in (tw1, tw2, tw3, b1, b2, b3)]
+    cs = xs.shape[-1]
     grid_spec = pl.GridSpec(
         grid=(n, nh),
         in_specs=[
-            pl.BlockSpec((1, H, W, cin), lambda i, h: (i, 0, 0, 0),
+            pl.BlockSpec((1, hc, wc, cs), lambda i, h: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H, W), lambda i, h: (i, h, 0, 0),
+            pl.BlockSpec((1, 1, hc, wc, R * R),
+                         lambda i, h: (i, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             *wspec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, W, cin), lambda i, h: (i, 0, 0, 0),
+            pl.BlockSpec((1, hc, wc, cs), lambda i, h: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1) + tw1.shape[1:],
                          lambda i, h: (i, h, 0, 0, 0, 0),
@@ -274,10 +292,10 @@ def _head_stack_bwd(pads, interpret, res, dy):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
-    dx, dtw1, dtw2, dtw3, dal = pl.pallas_call(
+    dxs, dtw1, dtw2, dtw3, dal = pl.pallas_call(
         _bwd_kernel, grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, H, W, cin), jnp.float32),
+            jax.ShapeDtypeStruct((n, hc, wc, cs), jnp.float32),
             jax.ShapeDtypeStruct((n, nh) + tw1.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((n, nh) + tw2.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((n, nh) + tw3.shape[1:], jnp.float32),
@@ -286,7 +304,9 @@ def _head_stack_bwd(pads, interpret, res, dy):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x, dy.astype(dt), tw1, tw2, tw3, b1, b2, b3, al)
+    )(xs, dyc, tw1, tw2, tw3, b1, b2, b3, al)
+    # adjoint of the wrapper's space-to-depth is depth-to-space
+    dx = _depth_to_space(dxs, R)
     dw1, dw2, dw3 = pullback([dtw1.sum(0), dtw2.sum(0), dtw3.sum(0)])
     return (dx.astype(dt), dw1, dw2, dw3,
             dal.sum(0).astype(alphas.dtype))
