@@ -63,8 +63,9 @@ def _phase_sum(u, n_phase, c):
 
 
 def _tile_phases(vec, p):
-    """(C,) per-fine-channel vector -> (P*C,) phase-major channel layout."""
-    return jnp.concatenate([vec] * p) if p > 1 else vec
+    """(C,) per-fine-channel vector -> (P*C,) phase-major channel layout.
+    Applied in the XLA wrapper (Mosaic cannot lower the 1-D concat)."""
+    return jnp.tile(vec, p)
 
 
 def _stats_kernel(x_ref, w2_ref, s1_ref, s2_ref, *, n_phase):
@@ -80,9 +81,7 @@ def _stats_kernel(x_ref, w2_ref, s1_ref, s2_ref, *, n_phase):
 def _fwd_kernel(x_ref, w2_ref, a_ref, b_ref, y_ref, *, n_phase):
     x = x_ref[0]
     u = _nine_mm(_pad1(x), w2_ref[:])
-    a = _tile_phases(a_ref[:], n_phase)
-    b = _tile_phases(b_ref[:], n_phase)
-    y_ref[0] = jnp.maximum(u * a + b, 0.0).astype(x.dtype)
+    y_ref[0] = jnp.maximum(u * a_ref[:] + b_ref[:], 0.0).astype(x.dtype)
 
 
 def _bwd1_kernel(x_ref, w2_ref, a_ref, b_ref, mean_ref, inv_ref, dy_ref,
@@ -90,13 +89,10 @@ def _bwd1_kernel(x_ref, w2_ref, a_ref, b_ref, mean_ref, inv_ref, dy_ref,
     """Per-sample BN-backward reductions: g1 = sum(dv), g2 = sum(dv*uhat)
     per fine channel, where dv = relu'(v) * dy."""
     u = _nine_mm(_pad1(x_ref[0]), w2_ref[:])
-    a = _tile_phases(a_ref[:], n_phase)
-    b = _tile_phases(b_ref[:], n_phase)
-    v = u * a + b
+    v = u * a_ref[:] + b_ref[:]
     g = dy_ref[0].astype(jnp.float32)
     dv = jnp.where(v > 0, g, 0.0)
-    uhat = (u - _tile_phases(mean_ref[:], n_phase)) \
-        * _tile_phases(inv_ref[:], n_phase)
+    uhat = (u - mean_ref[:]) * inv_ref[:]
     c = u.shape[-1] // n_phase
     i = pl.program_id(0)
     g1_ref[i] = _phase_sum(dv, n_phase, c).sum((0, 1))
@@ -108,21 +104,17 @@ def _bwd2_kernel(x_ref, w2_ref, w2b_ref, a_ref, b_ref, mean_ref, inv_ref,
     x = x_ref[0]
     xsp = _pad1(x)
     u = _nine_mm(xsp, w2_ref[:])
-    a = _tile_phases(a_ref[:], n_phase)
-    b = _tile_phases(b_ref[:], n_phase)
-    v = u * a + b
+    v = u * a_ref[:] + b_ref[:]
     g = dy_ref[0].astype(jnp.float32)
     dv = jnp.where(v > 0, g, 0.0)
-    uhat = (u - _tile_phases(mean_ref[:], n_phase)) \
-        * _tile_phases(inv_ref[:], n_phase)
-    du = a * (dv - _tile_phases(s1n_ref[:], n_phase)
-              - uhat * _tile_phases(s2n_ref[:], n_phase))
+    uhat = (u - mean_ref[:]) * inv_ref[:]
+    du = a_ref[:] * (dv - s1n_ref[:] - uhat * s2n_ref[:])
     du_c = du.astype(x.dtype)
     dw2_ref[0] = _wgrad_mm(xsp, du_c)
     dx_ref[0] = _nine_mm(_pad1(du_c), w2b_ref[:])
 
 
-def _vmem(n_bytes=110 * 1024 * 1024):
+def _vmem(n_bytes=127 * 1024 * 1024):
     return pltpu.CompilerParams(vmem_limit_bytes=n_bytes)
 
 
@@ -190,7 +182,8 @@ def _fused_fwd_impl(x, w2, gamma, beta, in_radix, out_radix, eps, interpret):
                              lambda i: (i, 0, 0, 0))),
         out_shape=jax.ShapeDtypeStruct((n, hc, wc, n_phase * c), x.dtype),
         compiler_params=_vmem(), interpret=interpret)(
-            xs, w2, a.astype(jnp.float32), b.astype(jnp.float32))
+            xs, w2, _tile_phases(a, n_phase).astype(jnp.float32),
+            _tile_phases(b, n_phase).astype(jnp.float32))
     y = _depth_to_space(yc, out_radix)
     return y, mean, var, (xs, a, b, inv)
 
@@ -223,8 +216,10 @@ def _fused_vjp_bwd(in_radix, out_radix, eps, interpret, res, cts):
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2),
         out_shape=[jax.ShapeDtypeStruct((n, c), f32)] * 2,
         compiler_params=_vmem(), interpret=interpret)(
-            xs, w2, a.astype(f32), b.astype(f32), mean.astype(f32),
-            inv.astype(f32), dyc)
+            xs, w2, _tile_phases(a, n_phase).astype(f32),
+            _tile_phases(b, n_phase).astype(f32),
+            _tile_phases(mean, n_phase).astype(f32),
+            _tile_phases(inv, n_phase).astype(f32), dyc)
     S1 = g1.sum(0)
     S2 = g2.sum(0)
     dgamma = S2.astype(jnp.float32)
@@ -248,8 +243,12 @@ def _fused_vjp_bwd(in_radix, out_radix, eps, interpret, res, cts):
         out_shape=[jax.ShapeDtypeStruct(xs.shape, f32),
                    jax.ShapeDtypeStruct((n,) + w2.shape, f32)],
         compiler_params=_vmem(), interpret=interpret)(
-            xs, w2, w2b, a.astype(f32), b.astype(f32), mean.astype(f32),
-            inv.astype(f32), s1n.astype(f32), s2n.astype(f32), dyc)
+            xs, w2, w2b, _tile_phases(a, n_phase).astype(f32),
+            _tile_phases(b, n_phase).astype(f32),
+            _tile_phases(mean, n_phase).astype(f32),
+            _tile_phases(inv, n_phase).astype(f32),
+            _tile_phases(s1n, n_phase).astype(f32),
+            _tile_phases(s2n, n_phase).astype(f32), dyc)
     # adjoint of the wrapper's space-to-depth is depth-to-space (a pure
     # permutation)
     dx = _depth_to_space(dxs, in_radix) if in_radix else dxs
