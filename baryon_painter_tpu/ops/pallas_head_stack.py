@@ -100,13 +100,15 @@ def _prelu(u, alpha):
 
 
 def _chain_fwd(x_s2d, w1, w2, w3, a1, a2, dtype):
-    """One head chain in s2d space; returns (u0, v0, u1, v1, u2) with
-    u* = conv outputs cast to dtype (pre-act), v* = activations."""
-    u0 = _nine_mm(_pad1(x_s2d), w1).astype(dtype)
+    """One head chain in s2d space; returns (u0, v0, u1, v1, u2) as f32
+    (pre-act u*, activated v*). Comparisons/activations stay f32 — Mosaic
+    has no bf16 compare ('Target does not support this comparison') — and
+    only the next matmul's input is cast back to the compute dtype."""
+    u0 = _nine_mm(_pad1(x_s2d), w1)
     v0 = _prelu(u0, a1)
-    u1 = _nine_mm(_pad1(v0), w2).astype(dtype)
+    u1 = _nine_mm(_pad1(v0.astype(dtype)), w2)
     v1 = _prelu(u1, a2)
-    u2 = _nine_mm(_pad1(v1), w3).astype(dtype)
+    u2 = _nine_mm(_pad1(v1.astype(dtype)), w3)
     return u0, v0, u1, v1, u2
 
 
@@ -118,7 +120,8 @@ def _fwd_kernel(xs_ref, w1_ref, w2_ref, w3_ref, al_ref, out_ref):
     # Mosaic's 8-aligned second-to-last block rule)
     _, _, _, _, u2 = _chain_fwd(xs, w1_ref[0], w2_ref[0], w3_ref[0],
                                 al_ref[h, 0], al_ref[h, 1], xs.dtype)
-    out_ref[0, 0] = u2  # coarse phase layout; d2s happens in the wrapper
+    # coarse phase layout; d2s happens in the wrapper
+    out_ref[0, 0] = u2.astype(xs.dtype)
 
 
 def _bwd_kernel(xs_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
@@ -136,16 +139,16 @@ def _bwd_kernel(xs_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
     g2 = dy_ref[0, 0].astype(jnp.float32)
 
     # conv3 backward
-    dw3_ref[0, 0] = _wgrad_mm(_pad1(v1), g2.astype(dtype))
+    dw3_ref[0, 0] = _wgrad_mm(_pad1(v1.astype(dtype)), g2.astype(dtype))
     dv1 = _nine_mm(_pad1(g2.astype(dtype)), b3_ref[0])
     # prelu2 backward (u1 pre-act; alpha is a scalar)
     du1 = jnp.where(u1 >= 0, dv1, a2 * dv1)
-    dal2 = jnp.sum(jnp.where(u1 < 0, dv1 * u1.astype(jnp.float32), 0.0))
+    dal2 = jnp.sum(jnp.where(u1 < 0, dv1 * u1, 0.0))
     # conv2 backward
-    dw2_ref[0, 0] = _wgrad_mm(_pad1(v0), du1.astype(dtype))
+    dw2_ref[0, 0] = _wgrad_mm(_pad1(v0.astype(dtype)), du1.astype(dtype))
     dv0 = _nine_mm(_pad1(du1.astype(dtype)), b2_ref[0])
     du0 = jnp.where(u0 >= 0, dv0, a1 * dv0)
-    dal1 = jnp.sum(jnp.where(u0 < 0, dv0 * u0.astype(jnp.float32), 0.0))
+    dal1 = jnp.sum(jnp.where(u0 < 0, dv0 * u0, 0.0))
     # conv1 backward
     dw1_ref[0, 0] = _wgrad_mm(xsp, du0.astype(dtype))
     dxs = _nine_mm(_pad1(du0.astype(dtype)), b1_ref[0])
