@@ -154,7 +154,10 @@ def _bwd_kernel(xs_ref, dy_ref, w1_ref, w2_ref, w3_ref, b1_ref, b2_ref,
     dxs = _nine_mm(_pad1(du0.astype(dtype)), b1_ref[0])
     dal_ref[i, h] = jnp.stack([dal1, dal2])  # whole-array block
 
-    dx_h = dxs  # coarse phase layout; d2s in the wrapper
+    # dx accumulates across heads in the compute dtype (the unfused graph's
+    # inter-layer cotangents are bf16 too); an f32 accumulator window
+    # double-buffers to 2x16.8 MB and overflows the 128 MB VMEM budget
+    dx_h = dxs.astype(dtype)  # coarse phase layout; d2s in the wrapper
 
     @pl.when(h == 0)
     def _init():
@@ -298,7 +301,7 @@ def _head_stack_bwd(pads, interpret, res, dy):
     dxs, dtw1, dtw2, dtw3, dal = pl.pallas_call(
         _bwd_kernel, grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, hc, wc, cs), jnp.float32),
+            jax.ShapeDtypeStruct((n, hc, wc, cs), dt),
             jax.ShapeDtypeStruct((n, nh) + tw1.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((n, nh) + tw2.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((n, nh) + tw3.shape[1:], jnp.float32),
