@@ -308,7 +308,10 @@ def _head_stack_bwd(pads, interpret, res, dy):
             jax.ShapeDtypeStruct((n, nh, 2), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024,
+            # serial grid: double-buffered windows overflow VMEM on the
+            # backward (the per-program live set is already ~100 MB)
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(xs, dyc, tw1, tw2, tw3, b1, b2, b3, al)
     # adjoint of the wrapper's space-to-depth is depth-to-space
