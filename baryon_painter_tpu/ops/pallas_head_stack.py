@@ -62,35 +62,51 @@ def _pad1(x):
     return jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
 
 
+STRIP = 32  # coarse rows per in-kernel matmul strip: bounds Mosaic's
+# scoped VMEM (nine full-size (M, Co) f32 dot products at 512^2 shapes
+# cost ~150 MB of stack; strips cap the concurrent product size)
+
+
 def _nine_mm(xp, w2):
     """VALID 3x3 conv of padded (Hc+2, Wc+2, Ci) with (3, 3, Ci, Co) as nine
-    shifted MXU matmuls; f32 accumulation. Returns (Hc, Wc, Co) f32."""
+    shifted MXU matmuls; f32 accumulation, row-strip-mined. Returns
+    (Hc, Wc, Co) f32."""
     hc, wc = xp.shape[0] - 2, xp.shape[1] - 2
     ci, co = xp.shape[2], w2.shape[-1]
-    acc = jnp.zeros((hc * wc, co), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = xp[dy:dy + hc, dx:dx + wc, :].reshape(hc * wc, ci)
-            acc += jax.lax.dot_general(
-                patch, w2[dy, dx], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    return acc.reshape(hc, wc, co)
+    rows = []
+    for r0 in range(0, hc, STRIP):
+        sh = min(STRIP, hc - r0)
+        acc = jnp.zeros((sh * wc, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = xp[r0 + dy:r0 + dy + sh,
+                           dx:dx + wc, :].reshape(sh * wc, ci)
+                acc += jax.lax.dot_general(
+                    patch, w2[dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        rows.append(acc.reshape(sh, wc, co))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
 
 def _wgrad_mm(xp, g):
     """dw2 of the VALID 3x3 conv: (3, 3, Ci, Co) f32 from padded input
-    (Hc+2, Wc+2, Ci) and cotangent (Hc, Wc, Co)."""
+    (Hc+2, Wc+2, Ci) and cotangent (Hc, Wc, Co); row-strip-mined."""
     hc, wc, co = g.shape
     ci = xp.shape[2]
-    gm = g.reshape(hc * wc, co)
     rows = []
     for dy in range(3):
         cols = []
         for dx in range(3):
-            patch = xp[dy:dy + hc, dx:dx + wc, :].reshape(hc * wc, ci)
-            cols.append(jax.lax.dot_general(
-                patch, gm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+            acc = jnp.zeros((ci, co), jnp.float32)
+            for r0 in range(0, hc, STRIP):
+                sh = min(STRIP, hc - r0)
+                patch = xp[r0 + dy:r0 + dy + sh,
+                           dx:dx + wc, :].reshape(sh * wc, ci)
+                gs = g[r0:r0 + sh].reshape(sh * wc, co)
+                acc += jax.lax.dot_general(
+                    patch, gs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            cols.append(acc)
         rows.append(jnp.stack(cols))
     return jnp.stack(rows)
 
