@@ -47,8 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from baryon_painter_tpu.ops.conv_rewrites import (_depth_to_space,
                                                   _space_to_depth)
-from baryon_painter_tpu.ops.pallas_head_stack import (_nine_mm, _pad1,
-                                                      _wgrad_mm)
+from baryon_painter_tpu.ops.pallas_head_stack import (STRIP, _nine_mm_rows,
+                                                      _pad1)
 
 __all__ = ["fused_conv_bn_relu"]
 
@@ -68,50 +68,110 @@ def _tile_phases(vec, p):
     return jnp.tile(vec, p)
 
 
+def _strips(hc):
+    return [(r0, min(STRIP, hc - r0)) for r0 in range(0, hc, STRIP)]
+
+
 def _stats_kernel(x_ref, w2_ref, s1_ref, s2_ref, *, n_phase):
+    """Strip-mined: per-strip live memory is one (STRIP*Wc, P*C) f32 conv
+    strip — a full-plane f32 u at the biggest up-chain shapes costs
+    ~17 MB each across several temporaries and blows Mosaic's scoped
+    VMEM accounting (measured 123-245 MB of 128)."""
     i = pl.program_id(0)
-    u = _nine_mm(_pad1(x_ref[0]), w2_ref[:])
-    c = u.shape[-1] // n_phase
+    xp = _pad1(x_ref[0])
+    hc = xp.shape[0] - 2
+    c = w2_ref.shape[-1] // n_phase
+    s1 = jnp.zeros((c,), jnp.float32)
+    s2 = jnp.zeros((c,), jnp.float32)
+    for r0, sh in _strips(hc):
+        u = _nine_mm_rows(xp, w2_ref[:], r0, sh)
+        s1 = s1 + _phase_sum(u, n_phase, c).sum((0, 1))
+        s2 = s2 + _phase_sum(u * u, n_phase, c).sum((0, 1))
     # s1/s2 are whole-(N, C) VMEM blocks (Mosaic's block rule forbids a
     # (1, C) row block when N isn't 8-aligned); each program writes row i
-    s1_ref[i] = _phase_sum(u, n_phase, c).sum((0, 1))
-    s2_ref[i] = _phase_sum(u * u, n_phase, c).sum((0, 1))
+    s1_ref[i] = s1
+    s2_ref[i] = s2
 
 
 def _fwd_kernel(x_ref, w2_ref, a_ref, b_ref, y_ref, *, n_phase):
     x = x_ref[0]
-    u = _nine_mm(_pad1(x), w2_ref[:])
-    y_ref[0] = jnp.maximum(u * a_ref[:] + b_ref[:], 0.0).astype(x.dtype)
+    xp = _pad1(x)
+    hc = xp.shape[0] - 2
+    for r0, sh in _strips(hc):
+        u = _nine_mm_rows(xp, w2_ref[:], r0, sh)
+        y_ref[0, r0:r0 + sh] = jnp.maximum(
+            u * a_ref[:] + b_ref[:], 0.0).astype(x.dtype)
 
 
 def _bwd1_kernel(x_ref, w2_ref, a_ref, b_ref, mean_ref, inv_ref, dy_ref,
                  g1_ref, g2_ref, *, n_phase):
     """Per-sample BN-backward reductions: g1 = sum(dv), g2 = sum(dv*uhat)
-    per fine channel, where dv = relu'(v) * dy."""
-    u = _nine_mm(_pad1(x_ref[0]), w2_ref[:])
-    v = u * a_ref[:] + b_ref[:]
-    g = dy_ref[0].astype(jnp.float32)
-    dv = jnp.where(v > 0, g, 0.0)
-    uhat = (u - mean_ref[:]) * inv_ref[:]
-    c = u.shape[-1] // n_phase
+    per fine channel, where dv = relu'(v) * dy. Strip-mined."""
     i = pl.program_id(0)
-    g1_ref[i] = _phase_sum(dv, n_phase, c).sum((0, 1))
-    g2_ref[i] = _phase_sum(dv * uhat, n_phase, c).sum((0, 1))
+    xp = _pad1(x_ref[0])
+    hc = xp.shape[0] - 2
+    c = w2_ref.shape[-1] // n_phase
+    g1 = jnp.zeros((c,), jnp.float32)
+    g2 = jnp.zeros((c,), jnp.float32)
+    for r0, sh in _strips(hc):
+        u = _nine_mm_rows(xp, w2_ref[:], r0, sh)
+        v = u * a_ref[:] + b_ref[:]
+        g = dy_ref[0, r0:r0 + sh].astype(jnp.float32)
+        dv = jnp.where(v > 0, g, 0.0)
+        uhat = (u - mean_ref[:]) * inv_ref[:]
+        g1 = g1 + _phase_sum(dv, n_phase, c).sum((0, 1))
+        g2 = g2 + _phase_sum(dv * uhat, n_phase, c).sum((0, 1))
+    g1_ref[i] = g1
+    g2_ref[i] = g2
 
 
 def _bwd2_kernel(x_ref, w2_ref, w2b_ref, a_ref, b_ref, mean_ref, inv_ref,
                  s1n_ref, s2n_ref, dy_ref, dx_ref, dw2_ref, *, n_phase):
+    """Strip-mined dx/dw pass. For the dx rows of one strip, du is
+    recomputed with a one-row halo (du outside the plane is zero — the
+    forward pads with zeros); dw accumulates from each strip's interior
+    du rows. No full-plane f32 temporary is ever live."""
     x = x_ref[0]
+    dtype = x.dtype
     xsp = _pad1(x)
-    u = _nine_mm(xsp, w2_ref[:])
-    v = u * a_ref[:] + b_ref[:]
-    g = dy_ref[0].astype(jnp.float32)
-    dv = jnp.where(v > 0, g, 0.0)
-    uhat = (u - mean_ref[:]) * inv_ref[:]
-    du = a_ref[:] * (dv - s1n_ref[:] - uhat * s2n_ref[:])
-    du_c = du.astype(x.dtype)
-    dw2_ref[0] = _wgrad_mm(xsp, du_c)
-    dx_ref[0] = _nine_mm(_pad1(du_c), w2b_ref[:])
+    hc, wc = xsp.shape[0] - 2, xsp.shape[1] - 2
+    ci = xsp.shape[2]
+    co = w2_ref.shape[-1]
+
+    def du_rows(r0, sh):
+        # du rows [r0, r0+sh) clipped to the plane; zero outside
+        lo = max(r0, 0)
+        hi = min(r0 + sh, hc)
+        u = _nine_mm_rows(xsp, w2_ref[:], lo, hi - lo)
+        v = u * a_ref[:] + b_ref[:]
+        g = dy_ref[0, lo:hi].astype(jnp.float32)
+        dv = jnp.where(v > 0, g, 0.0)
+        uhat = (u - mean_ref[:]) * inv_ref[:]
+        du = a_ref[:] * (dv - s1n_ref[:] - uhat * s2n_ref[:])
+        pad_top = lo - r0
+        pad_bot = (r0 + sh) - hi
+        if pad_top or pad_bot:
+            du = jnp.pad(du, ((pad_top, pad_bot), (0, 0), (0, 0)))
+        return du
+
+    dw_acc = jnp.zeros((3, 3, ci, co), jnp.float32)
+    for r0, sh in _strips(hc):
+        du_ext = du_rows(r0 - 1, sh + 2).astype(dtype)  # 1-row halo
+        # dx strip: VALID 3x3 conv of the column-padded halo'd du strip
+        du_p = jnp.pad(du_ext, ((0, 0), (1, 1), (0, 0)))
+        dx_ref[0, r0:r0 + sh] = _nine_mm_rows(
+            jnp.pad(du_p, ((1, 1), (0, 0), (0, 0))), w2b_ref[:], 1, sh
+        ).astype(jnp.float32)
+        # dw from this strip's interior du rows against the input patches
+        du_mid = du_ext[1:-1].reshape(sh * wc, co)
+        for dy in range(3):
+            for dx in range(3):
+                patch = xsp[r0 + dy:r0 + dy + sh,
+                            dx:dx + wc, :].reshape(sh * wc, ci)
+                dw_acc = dw_acc.at[dy, dx].add(jax.lax.dot_general(
+                    patch, du_mid, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    dw2_ref[0] = dw_acc
 
 
 def _vmem(n_bytes=127 * 1024 * 1024):

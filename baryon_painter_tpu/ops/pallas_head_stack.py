@@ -67,24 +67,31 @@ STRIP = 32  # coarse rows per in-kernel matmul strip: bounds Mosaic's
 # cost ~150 MB of stack; strips cap the concurrent product size)
 
 
+def _nine_mm_rows(xp, w2, r0, sh):
+    """Rows [r0, r0+sh) of the VALID 3x3 conv of padded (Hc+2, Wc+2, Ci)
+    input with (3, 3, Ci, Co) weights; f32 accumulation. The building
+    block of strip-mined kernels: per-strip live memory is one
+    (sh*Wc, Co) f32 accumulator."""
+    wc = xp.shape[1] - 2
+    ci, co = xp.shape[2], w2.shape[-1]
+    acc = jnp.zeros((sh * wc, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[r0 + dy:r0 + dy + sh,
+                       dx:dx + wc, :].reshape(sh * wc, ci)
+            acc += jax.lax.dot_general(
+                patch, w2[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc.reshape(sh, wc, co)
+
+
 def _nine_mm(xp, w2):
     """VALID 3x3 conv of padded (Hc+2, Wc+2, Ci) with (3, 3, Ci, Co) as nine
     shifted MXU matmuls; f32 accumulation, row-strip-mined. Returns
     (Hc, Wc, Co) f32."""
-    hc, wc = xp.shape[0] - 2, xp.shape[1] - 2
-    ci, co = xp.shape[2], w2.shape[-1]
-    rows = []
-    for r0 in range(0, hc, STRIP):
-        sh = min(STRIP, hc - r0)
-        acc = jnp.zeros((sh * wc, co), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                patch = xp[r0 + dy:r0 + dy + sh,
-                           dx:dx + wc, :].reshape(sh * wc, ci)
-                acc += jax.lax.dot_general(
-                    patch, w2[dy, dx], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        rows.append(acc.reshape(sh, wc, co))
+    hc = xp.shape[0] - 2
+    rows = [_nine_mm_rows(xp, w2, r0, min(STRIP, hc - r0))
+            for r0 in range(0, hc, STRIP)]
     return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
 
