@@ -58,6 +58,9 @@ CASES = [
     ("transp", (2, 8, 8, 6), (4, 4, 6, 5), 2, 1),
     ("transp", (2, 4, 4, 3), (8, 8, 3, 2), 4, 2),
     ("s2d", (2, 16, 16, 3), (5, 5, 3, 4), 1, 2),
+    # coarse grid taller than one 32-row strip: exercises the kernels'
+    # strip loops, including the bwd dx halo across strip boundaries
+    ("transp", (1, 40, 12, 3), (4, 4, 3, 4), 2, 1),
 ]
 
 
