@@ -145,9 +145,15 @@ class CVAE(nn.Module):
         if h.shape[1] % 4 or h.shape[2] % 4 or h.shape[1] < 32:
             return False
         heads = self.architecture["p_y_z_out"]
-        for spec in heads:
+        # _fused_heads hardcodes the trailing activations: softplus on
+        # head 0 (mu), raw conv output on head 1 (log-var) — reject any
+        # spec whose tail differs or it would be silently mis-evaluated
+        tails = (["softplus"], [])
+        for spec, tail in zip(heads, tails):
             names = [str(l[0]).lower() for l in spec]
             if names[:5] != ["conv", "prelu", "conv", "prelu", "conv"]:
+                return False
+            if names[5:] != tail:
                 return False
             ks = [l[1]["kernel_size"] for l in spec if l[0] == "conv"]
             ps = [l[1]["padding"] for l in spec if l[0] == "conv"]

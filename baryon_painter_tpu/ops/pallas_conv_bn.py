@@ -154,7 +154,12 @@ def _bwd2_kernel(x_ref, w2_ref, w2b_ref, a_ref, b_ref, mean_ref, inv_ref,
             du = jnp.pad(du, ((pad_top, pad_bot), (0, 0), (0, 0)))
         return du
 
-    dw_acc = jnp.zeros((3, 3, ci, co), jnp.float32)
+    # nine (ci, co) f32 accumulators in a Python 3x3 list — a
+    # dw_acc.at[dy, dx].add(...) would lower to a scatter-add, which
+    # Mosaic cannot compile (the _wgrad_mm pattern, kept strip-local here
+    # because dx and dw share the recomputed du strips)
+    dw_acc = [[jnp.zeros((ci, co), jnp.float32) for _ in range(3)]
+              for _ in range(3)]
     for r0, sh in _strips(hc):
         du_ext = du_rows(r0 - 1, sh + 2).astype(dtype)  # 1-row halo
         # dx strip: VALID 3x3 conv of the column-padded halo'd du strip
@@ -168,10 +173,10 @@ def _bwd2_kernel(x_ref, w2_ref, w2b_ref, a_ref, b_ref, mean_ref, inv_ref,
             for dx in range(3):
                 patch = xsp[r0 + dy:r0 + dy + sh,
                             dx:dx + wc, :].reshape(sh * wc, ci)
-                dw_acc = dw_acc.at[dy, dx].add(jax.lax.dot_general(
+                dw_acc[dy][dx] = dw_acc[dy][dx] + jax.lax.dot_general(
                     patch, du_mid, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-    dw2_ref[0] = dw_acc
+                    preferred_element_type=jnp.float32)
+    dw2_ref[0] = jnp.stack([jnp.stack(row) for row in dw_acc])
 
 
 def _vmem(n_bytes=127 * 1024 * 1024):

@@ -146,15 +146,20 @@ def test_spec_sequential_fusion_matches(monkeypatch):
     """The (transp conv, batchnorm, relu) triple under BPT_FUSED_TRAIN_CONV
     produces the same outputs, gradients, parameter tree and running-stat
     updates as the unfused interpreter."""
+    from baryon_painter_tpu.models import layers as layers_mod
     from baryon_painter_tpu.models.layers import SpecSequential
+    from baryon_painter_tpu.ops import pallas_conv_bn
 
+    # out_channels must be >= 8: the fusion gate rejects tiny-channel
+    # layers, and with fewer the flagged run silently takes the unfused
+    # path and this test compares the unfused interpreter to itself
     spec = (
-        ("transp conv", {"in_channels": 6, "out_channels": 5,
+        ("transp conv", {"in_channels": 6, "out_channels": 8,
                          "kernel_size": 4, "padding": 1, "stride": 2,
                          "bias": False}),
-        ("batchnorm", {"num_features": 5}),
+        ("batchnorm", {"num_features": 8}),
         ("ReLU",),
-        ("conv", {"in_channels": 5, "out_channels": 3, "kernel_size": 3,
+        ("conv", {"in_channels": 8, "out_channels": 3, "kernel_size": 3,
                   "padding": 1, "stride": 1, "bias": False}),
     )
     mod = SpecSequential(spec)
@@ -162,6 +167,15 @@ def test_spec_sequential_fusion_matches(monkeypatch):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)), jnp.float32)
     monkeypatch.setenv("BPT_FUSED_TRAIN_CONV", "0")
     variables = mod.init(jax.random.PRNGKey(0), x)
+
+    fused_calls = []
+    real_fused = pallas_conv_bn.fused_conv_bn_relu
+
+    def spy(*a, **kw):
+        fused_calls.append(1)
+        return real_fused(*a, **kw)
+
+    monkeypatch.setattr(pallas_conv_bn, "fused_conv_bn_relu", spy)
 
     def run(flag):
         monkeypatch.setenv("BPT_FUSED_TRAIN_CONV", flag)
@@ -177,7 +191,10 @@ def test_spec_sequential_fusion_matches(monkeypatch):
         return l, y, upd, g
 
     l0, y0, upd0, g0 = run("0")
+    assert not fused_calls, "unfused run must not hit the fused kernel"
     l1, y1, upd1, g1 = run("1")
+    # value_and_grad traces once: forward+backward through one fused call
+    assert len(fused_calls) == 1, "fused path was not actually taken"
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-4, atol=2e-5)
