@@ -286,6 +286,9 @@ def _head_stack_bwd(pads, interpret, res, dy):
 
     (tw1, tw2, tw3), pullback = jax.vjp(lambda a, b, c: tf([a, b, c]),
                                         w1, w2, w3)
+    # the pullback's cotangents must match tf's output dtypes (= the
+    # logical weights' dtype, e.g. bf16 under a low-precision caller)
+    tw_dts = (tw1.dtype, tw2.dtype, tw3.dtype)
     tw1, tw2, tw3 = tw1.astype(dt), tw2.astype(dt), tw3.astype(dt)
     b1, b2, b3 = _flip_t(tw1), _flip_t(tw2), _flip_t(tw3)
     al = alphas.astype(jnp.float32)
@@ -339,7 +342,9 @@ def _head_stack_bwd(pads, interpret, res, dy):
     )(xs, dyc, tw1, tw2, tw3, b1, b2, b3, al)
     # adjoint of the wrapper's space-to-depth is depth-to-space
     dx = _depth_to_space(dxs, R)
-    dw1, dw2, dw3 = pullback([dtw1.sum(0), dtw2.sum(0), dtw3.sum(0)])
+    dw1, dw2, dw3 = pullback([dtw1.sum(0).astype(tw_dts[0]),
+                              dtw2.sum(0).astype(tw_dts[1]),
+                              dtw3.sum(0).astype(tw_dts[2])])
     return (dx.astype(dt), dw1, dw2, dw3,
             dal.sum(0).astype(alphas.dtype))
 

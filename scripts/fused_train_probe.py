@@ -118,11 +118,12 @@ def probe_kernels(run: bool):
                 + ("" if rec["ok"] else f" ERR {rec['error'][:200]}"))
             emit(rec)
 
-    # fused head stack at the production shape
+    # fused head stack at the production shape; logical weights stay f32
+    # like flax params (the deployed path reads child-module params)
     x = arr((24, 512, 512, 16))
-    w1 = arr((2, 7, 7, 16, 8), 0.1)
-    w2_ = arr((2, 5, 5, 8, 1), 0.1)
-    w3 = arr((2, 3, 3, 1, 1), 0.1)
+    w1 = arr((2, 7, 7, 16, 8), 0.1, jnp.float32)
+    w2_ = arr((2, 5, 5, 8, 1), 0.1, jnp.float32)
+    w3 = arr((2, 3, 3, 1, 1), 0.1, jnp.float32)
     al = jnp.full((2, 2), 0.25, jnp.float32)
 
     def hs_loss(x_, a_, b_, c_, al_):

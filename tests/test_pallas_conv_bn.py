@@ -61,6 +61,8 @@ CASES = [
     # coarse grid taller than one 32-row strip: exercises the kernels'
     # strip loops, including the bwd dx halo across strip boundaries
     ("transp", (1, 40, 12, 3), (4, 4, 3, 4), 2, 1),
+    # exactly 2 full strips, no ragged tail: the pure fori_loop path
+    ("transp", (1, 64, 12, 3), (4, 4, 3, 4), 2, 1),
 ]
 
 
@@ -91,8 +93,13 @@ def test_forward_matches_reference(kind, xs, ws, s, p):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("bwd2", ["windows", "xla"])
 @pytest.mark.parametrize("kind,xs,ws,s,p", CASES)
-def test_gradients_match_reference(kind, xs, ws, s, p):
+def test_gradients_match_reference(kind, xs, ws, s, p, bwd2, monkeypatch):
+    # both backward variants (Pallas blocked-window kernels / the XLA
+    # fallback for VMEM-oversized shapes) must be gradient-exact;
+    # production picks by the VMEM fit heuristic
+    monkeypatch.setenv("BPT_CONV_BN_BWD2", bwd2)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
     w = jnp.asarray(rng.standard_normal(ws) * 0.3, jnp.float32)
