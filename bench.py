@@ -121,6 +121,41 @@ def main():
     def idx_matrix(k):
         return np.stack([ds.sample_indices(rng, batch) for _ in range(k)])
 
+    # --- first-dispatch floor probe (VERDICT r4 weak 3 / item 6) -------
+    # Split the warm first dispatch into lower / compile / first-exec on
+    # an AOT object at the exact step_scan shapes, so the ~2 min residual
+    # is attributed by measurement instead of assertion. The subsequent
+    # step_scan compile is a persistent-cache hit; if ITS first call still
+    # pays ~the same as floor_compile_s, the cost is per-executable
+    # backend load (each jit compilation loads its executable into the
+    # tunneled backend), not recompilation.
+    floor = {}
+    if os.environ.get("BPT_BENCH_FLOOR", "1") == "1":
+        import jax.numpy as _jnp
+        aot_args = (trainer.state, trainer.device_cache.stacks,
+                    (_jnp.zeros((scan_k, batch, 9), _jnp.int32),
+                     _jnp.arange(scan_k)),
+                    __import__("jax").random.PRNGKey(0),
+                    _jnp.full((scan_k,), 1e-3, _jnp.float32),
+                    _jnp.ones((scan_k,), _jnp.float32),
+                    _jnp.ones((scan_k,), _jnp.float32))
+        t0 = time.time()
+        lowered = trainer._train_scan.lower(*aot_args)
+        floor["floor_lower_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        compiled = lowered.compile()
+        floor["floor_compile_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out = compiled(*aot_args)
+        float(out[1]["elbo"][-1])  # sync by value
+        floor["floor_first_exec_s"] = round(time.time() - t0, 2)
+        # _train_scan donates the state argument: the probe consumed the
+        # trainer's state buffers, so adopt the stepped state it returned
+        trainer.state = out[0]
+        log(f"first-dispatch floor: lower={floor['floor_lower_s']}s "
+            f"compile(+load)={floor['floor_compile_s']}s "
+            f"first_exec={floor['floor_first_exec_s']}s")
+
     t0 = time.time()
     m = trainer.step_scan(idx_matrix(scan_k), lr=1e-3)
     elbo = float(m["elbo"][-1])
@@ -211,6 +246,30 @@ def main():
         f"fused={paint_fused}) p50={p50_ms:.1f}ms p95={p95_ms:.1f}ms "
         f"spread={paint_spread:.2f}x compile={paint_compile_s:.1f}s")
 
+    # Device-time paint metric (VERDICT r4 item 7): the wall-clock reps
+    # carry tunnel dispatch latency and host stalls (measured 4.37x rep
+    # spread in r4). The K-slope cancels every per-dispatch fixed cost:
+    # time K=2 and K=paint_k scans, take the MIN over reps of each (a
+    # stall can only add time, so min is the stall-free estimate), and
+    # divide the difference by the extra paints. The result is per-paint
+    # DEVICE time, tunnel-independent up to the clock reading.
+    k_lo = 2
+    t0 = time.time()
+    float(paint_scan(key, k_lo))  # compile the K=2 variant
+    lo_compile_s = time.time() - t0
+    lo_ms = []
+    for r in range(1, n_reps + 1):
+        t0 = time.time()
+        float(paint_scan(jax.random.fold_in(key, 100 + r), k_lo))
+        lo_ms.append((time.time() - t0) * 1e3)
+    device_ms_per_paint = (min(rep_ms) - min(lo_ms)) / (paint_k - k_lo)
+    paint_device_tps = pb / (device_ms_per_paint / 1e3)
+    log(f"paint device time (K-slope {k_lo}->{paint_k}): "
+        f"{device_ms_per_paint:.1f} ms/paint -> "
+        f"{paint_device_tps:.1f} tiles/s/chip "
+        f"(K={k_lo} compile {lo_compile_s:.1f}s, "
+        f"min K{k_lo}={min(lo_ms):.1f}ms min K{paint_k}={min(rep_ms):.1f}ms)")
+
     # FLOPs + MFU so perf regressions are visible, not just samples/s.
     # XLA cost_analysis counts a scan/while BODY once regardless of trip
     # count (measured r3: a 25-step scan reports the same flops as one
@@ -260,6 +319,14 @@ def main():
         "paint_p50_ms": round(float(p50_ms), 1),
         "paint_p95_ms": round(float(p95_ms), 1),
         "paint_rep_spread": round(paint_spread, 3),
+        # tunnel-independent device time per paint dispatch via the
+        # K-slope (min-of-reps at K=2 and K=paint_k; fixed per-dispatch
+        # costs cancel in the difference)
+        "paint_device_ms": round(float(device_ms_per_paint), 2),
+        "paint_device_tiles_per_sec": round(float(paint_device_tps), 1),
+        # first-dispatch floor decomposition (lower / compile+load /
+        # first exec on an AOT object at the step_scan shapes)
+        **floor,
     }))
 
 

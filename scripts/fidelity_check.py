@@ -317,6 +317,12 @@ def main():
                         "whose best eval must come from adv-ON steps) — "
                         "the default floor would silently hand the 'best' "
                         "back to the restored pre-leg parameters")
+    p.add_argument("--eval-tiles", type=int, default=48,
+                   help="validation tiles per redshift for each gate eval. "
+                        "Measured eval noise at 48 tiles is sigma~0.01 on "
+                        "the per-z metric (docs/ab/gate_variance_phys512_"
+                        "lt_r5.json); raise for final reports when the "
+                        "model sits near the gate")
     p.add_argument("--eval-only", action="store_true",
                    help="restore the checkpoint and report P(k) errors "
                         "without training (implies --resume)")
@@ -515,6 +521,7 @@ def main():
 
     # warm the paint graph + baseline errors with untrained weights
     auto0, cross0, diag0 = pk_errors(painter, val_ds, seed=args.seed,
+                                     n_sample=args.eval_tiles,
                                      matmul_precision=gate_dtypes[0][2])
     print(f"untrained: auto={auto0:.3f} cross={cross0:.3f} {diag0}",
           file=sys.stderr, flush=True)
@@ -600,6 +607,7 @@ def main():
             p = make_painter(dtype=dt)
             for z in val_ds.redshifts:
                 az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z,
+                                      n_sample=args.eval_tiles,
                                       matmul_precision=prec)
                 per_z[z] = max(per_z.get(z, 0.0), az, cz)
                 worst = max(worst, az, cz)
@@ -730,6 +738,7 @@ def main():
                 args.workdir, f"{args.model}_{{plot_type}}.png"))
         print(f"figures saved in {args.workdir}", file=sys.stderr, flush=True)
     auto1, cross1, diag1 = pk_errors(painter, val_ds, seed=args.seed,
+                                     n_sample=args.eval_tiles,
                                      matmul_precision=gate_dtypes[0][2])
     # the gate is per-redshift (validation_plotting.py:76-158 panels per z),
     # and under --gate-dtype both it must hold for every compute dtype
@@ -740,6 +749,7 @@ def main():
         d = {}
         for z in val_ds.redshifts:
             az, cz, _ = pk_errors(p, val_ds, seed=args.seed, z=z,
+                                      n_sample=args.eval_tiles,
                                   matmul_precision=prec)
             d[f"{z:g}"] = {"auto": round(az, 4), "cross": round(cz, 4)}
         per_z_by_dtype[label] = d
