@@ -661,6 +661,27 @@ class CGANTrainer:
                                       model_kind="cgan")
         ckpt.save_checkpoint(base_path, state, meta)
 
+    def reinit_discriminator(self, seed: int = 0):
+        """Replace D's parameters, batch stats and optimizer state with a
+        fresh initialization, keeping G untouched.
+
+        The 'fresh D head' recipe for adversarially-ON fine-tuning from a
+        calibrated generator (trained_models/CGAN/fiducial-adv/README.md):
+        the restored D co-adapted to the pre-calibration G, so unfreezing
+        the adversarial term replays stale gradients; a re-initialized D
+        must first re-learn to separate real/fake against the CURRENT G,
+        giving the equilibrium a different basin. Call after restore()."""
+        t = self.training_data.tile_size
+        y0 = jnp.zeros((1, t, t, 1), jnp.float32)
+        x0 = jnp.zeros((1, t, t, 1), jnp.float32)
+        z0 = jnp.zeros((1,), jnp.float32)
+        d_vars = jax.jit(self.discriminator.init)(
+            jax.random.PRNGKey(seed), y0, z0, x0)
+        self.state = self.state.replace(
+            d_params=d_vars["params"],
+            d_stats=d_vars.get("batch_stats", {}),
+            d_opt=self.optimizer.init(d_vars["params"]))
+
     def restore(self, base_path: str):
         import flax.serialization
         # raw-dict load (no target): checkpoints may carry extra progress /

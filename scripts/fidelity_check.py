@@ -283,6 +283,12 @@ def main():
                         "migrates as a fine-tune progresses, so a static "
                         "boost goes stale mid-run; batches are allocated by "
                         "largest remainder (any batch >= n_z works).")
+    p.add_argument("--reinit-d", type=int, default=None, metavar="SEED",
+                   help="CGAN --resume only: re-initialize the "
+                        "discriminator (params, batch stats, optimizer "
+                        "moments) from this seed while keeping the restored "
+                        "generator - the 'fresh D head' adv-ON recipe "
+                        "(trained_models/CGAN/fiducial-adv/README.md)")
     p.add_argument("--freeze-bn", action="store_true",
                    help="CVAE fine-tunes: keep BatchNorm running stats "
                         "fixed at their restored values (TrainConfig."
@@ -488,6 +494,12 @@ def main():
             and os.path.exists(ckpt_base + "_state.msgpack")):
         trainer.restore(ckpt_base)
         print("restored checkpoint", file=sys.stderr, flush=True)
+        if args.reinit_d is not None:
+            if args.model != "cgan" or args.eval_only:
+                raise SystemExit("--reinit-d needs --model cgan --resume")
+            trainer.reinit_discriminator(args.reinit_d)
+            print(f"discriminator re-initialized (seed {args.reinit_d})",
+                  file=sys.stderr, flush=True)
     elif args.eval_only:
         raise SystemExit(f"--eval-only: no checkpoint at {ckpt_base}")
     elif (args.checkpoint is not None

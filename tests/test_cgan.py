@@ -499,3 +499,32 @@ def test_freeze_bn_stats_adv_on(dataset):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         tr.state.g_stats, s0))) if jax.tree.leaves(tr.state.g_stats) else 0.0)
     assert moved > 0 and frozen == 0.0
+
+
+def test_reinit_discriminator(dataset):
+    """The fresh-D recipe replaces D params/stats/opt and keeps G intact."""
+    import jax
+
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2))
+    g_before = jax.tree.map(np.asarray, tr.state.g_params)
+    d_before = jax.tree.map(np.asarray, tr.state.d_params)
+    tr.reinit_discriminator(seed=123)
+    for a, b in zip(jax.tree.leaves(g_before),
+                    jax.tree.leaves(tr.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(d_before),
+                        jax.tree.leaves(tr.state.d_params)))
+    assert changed, "discriminator parameters did not change"
+    # optimizer moments reset to zeros
+    mom = [x for x in jax.tree.leaves(tr.state.d_opt)
+           if hasattr(x, "shape") and getattr(x, "size", 0) > 1]
+    assert mom and all(float(np.abs(np.asarray(m)).max()) == 0.0
+                       for m in mom)
+    # the trainer still steps after the swap
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    assert np.isfinite(float(m["loss_D"]))
+    assert np.isfinite(float(m["loss_G_adv"]))
