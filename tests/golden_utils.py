@@ -22,6 +22,14 @@ MODELS = [
      256, 2),
     ("cvae_512", "trained_models/CVAE/fiducial-512/model", "cvae", 512, 1),
     ("cgan_fiducial", "trained_models/CGAN/fiducial/model", "cgan", 256, 2),
+    # round-4/5 additions (VERDICT r4 weak 4): WIP/near-gate artifacts are
+    # pinned too — their bits are the committed provenance of the
+    # physical-stats and adv-ON experiment lines
+    ("cvae_phys512_lt", "trained_models/CVAE/physical-512-lt-wip/model",
+     "cvae", 512, 1),
+    ("cvae_phys512_resize",
+     "trained_models/CVAE/physical-512-resize-wip/model", "cvae", 512, 1),
+    ("cgan_adv", "trained_models/CGAN/fiducial-adv/model", "cgan", 256, 2),
 ]
 
 
