@@ -133,15 +133,21 @@ class CGANDiscriminator(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, y, z, x, train: bool = True):
+    def __call__(self, y, z, x, train: bool = True,
+                 return_features: bool = False):
         """y: DM (N,H,W,1); z: (N,); x: pressure (N,H,W,1).
-        Returns per-patch probabilities (N, h, w, 1)."""
+        Returns per-patch probabilities (N, h, w, 1); with
+        ``return_features`` also the pre-head body activations — the
+        feature layer for Salimans-style feature-matching adversarial
+        training (train/cgan.py CGANTrainConfig.feature_matching)."""
         body_spec, head_spec = cgan_discriminator_spec(self.in_channels)
         h = jnp.concatenate([merge_aux_label(y, z_feature(z)), x], axis=-1)
-        h = SpecSequential(body_spec, dtype=self.dtype,
-                           spectral_norm=self.spectral_norm,
-                           kernel_init=kaiming_normal_init)(h, train=train)
+        feat = SpecSequential(body_spec, dtype=self.dtype,
+                              spectral_norm=self.spectral_norm,
+                              kernel_init=kaiming_normal_init)(h, train=train)
         h = SpecSequential(head_spec, dtype=self.dtype,
                            spectral_norm=self.spectral_norm,
-                           kernel_init=xavier_init(0.25))(h, train=train)
+                           kernel_init=xavier_init(0.25))(feat, train=train)
+        if return_features:
+            return h, feat
         return h

@@ -84,6 +84,12 @@ class CGANTrainConfig:
     # physical space. Same knobs as TrainConfig.pk_loss_*.
     pk_loss_weight: float = 0.0
     pk_loss_n_bins: int = 12
+    # Feature matching (Salimans et al. 2016) for the GENERATOR's
+    # adversarial term: instead of -log D(fake), match the batch-mean
+    # discriminator body features of fake to real. D itself still trains
+    # with BCE. One of the three adv-ON gate-pass candidates
+    # (trained_models/CGAN/fiducial-adv/README.md).
+    feature_matching: bool = False
     pk_loss_per_z: bool = False
     # Weight of the adversarial BCE in the G loss. 0 freezes the
     # adversarial game entirely (no D update, no adv gradient): a
@@ -261,10 +267,29 @@ class CGANTrainer:
                 fake_g, _ = self.generator.apply(
                     {"params": g_params, "batch_stats": state.g_stats},
                     y, z, train=True, mutable=["batch_stats"])
-                p_fake = self.discriminator.apply(
-                    {"params": d_params, "batch_stats": d_stats},
-                    y, z, fake_g, train=False)
-                adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
+                if self.config.feature_matching:
+                    _, f_fake = self.discriminator.apply(
+                        {"params": d_params, "batch_stats": d_stats},
+                        y, z, fake_g, train=False, return_features=True)
+                    _, f_real = self.discriminator.apply(
+                        {"params": d_params, "batch_stats": d_stats},
+                        y, z, x, train=False, return_features=True)
+
+                    def fmean(f):
+                        per = f.astype(jnp.float32).mean((1, 2))  # (N, C)
+                        if sample_weight is None:
+                            return per.mean(0)
+                        w = sample_weight[:, None]
+                        return (per * w).sum(0) / jnp.sum(sample_weight)
+
+                    adv = jnp.mean(
+                        (fmean(jax.lax.stop_gradient(f_real))
+                         - fmean(f_fake)) ** 2)
+                else:
+                    p_fake = self.discriminator.apply(
+                        {"params": d_params, "batch_stats": d_stats},
+                        y, z, fake_g, train=False)
+                    adv = -_wmean(jnp.log(p_fake + _EPS), sample_weight)
             else:
                 # calibration mode: the L1 term must score the exact
                 # eval-mode paint path (see the train-forward note above)

@@ -283,6 +283,10 @@ def main():
                         "migrates as a fine-tune progresses, so a static "
                         "boost goes stale mid-run; batches are allocated by "
                         "largest remainder (any batch >= n_z works).")
+    p.add_argument("--feature-matching", action="store_true",
+                   help="CGAN: generator adversarial term = batch-mean D "
+                        "feature matching (Salimans 2016) instead of BCE; "
+                        "D still trains with BCE (the third adv-ON recipe)")
     p.add_argument("--reinit-d", type=int, default=None, metavar="SEED",
                    help="CGAN --resume only: re-initialize the "
                         "discriminator (params, batch stats, optimizer "
@@ -485,6 +489,7 @@ def main():
                                   pk_loss_per_z=args.pk_loss_weight > 0,
                                   adversarial_weight=args.adv_weight,
                                   lambda_perceptual=args.perc_weight,
+                                  feature_matching=args.feature_matching,
                                   freeze_bn_stats=args.freeze_bn,
                                   clip_grad_norm=args.clip_grad),
                               device_data=True)

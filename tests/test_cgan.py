@@ -528,3 +528,24 @@ def test_reinit_discriminator(dataset):
     m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
     assert np.isfinite(float(m["loss_D"]))
     assert np.isfinite(float(m["loss_G_adv"]))
+
+
+def test_feature_matching_adversarial_term(dataset):
+    """feature_matching swaps G's adv term for batch-mean D-feature
+    matching: finite, differs from BCE, and still steps the trainer."""
+    import jax
+
+    tr = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                     discriminator=CGANDiscriminator(),
+                     config=CGANTrainConfig(seed=0, batch_size=2,
+                                            feature_matching=True))
+    m = tr.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    fm_adv = float(m["loss_G_adv"])
+    assert np.isfinite(fm_adv) and fm_adv >= 0  # squared distance
+    assert np.isfinite(float(m["loss_D"]))  # D still trains with BCE
+
+    tr_bce = CGANTrainer(dataset, generator=CGANGenerator(n_res_blocks=1),
+                         discriminator=CGANDiscriminator(),
+                         config=CGANTrainConfig(seed=0, batch_size=2))
+    m_bce = tr_bce.step(dataset.get_raw_batch(np.arange(2)), lr=5e-5)
+    assert fm_adv != float(m_bce["loss_G_adv"])
