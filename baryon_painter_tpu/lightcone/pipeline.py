@@ -299,13 +299,16 @@ def process_slics(painter, tile_size: float, n_pixel_tile: int,
                          "return_problematic_tiles")
     if seamless and getattr(painter, "_fused_inference", False):
         # The fused Pallas blocks specialize on spatial shape; seamless
-        # paints a distinct plane size per shell, each a multi-minute
-        # Mosaic recompile (measured: one LOS never finishes its first
-        # pass). Fail fast like the regularise branch above — a warning
-        # scrolls away hours before the compile treadmill becomes obvious.
+        # paints a distinct plane size per shell, each a separate Mosaic
+        # compile. Measured close-out (docs/ab/seamless_roofline_r5.json):
+        # whole-plane XLA painting runs at 66.6% of peak HBM BW, and the
+        # production LOS is TRANSFER-bound (paint 1.44 s vs H2D 3.81 s
+        # per shell, 66% overlap), so a fused seamless variant buys <10%
+        # end-to-end — tile-batch-only is a design decision, not a gap.
         raise ValueError("seamless painting with fused_inference recompiles "
-                         "the fused kernels per plane size (minutes each, "
-                         "one per shell); use fused for the tiled path only")
+                         "the fused kernels per plane size; use fused for "
+                         "the tiled path only (measured rationale: "
+                         "docs/ab/seamless_roofline_r5.json)")
     if len(z_SLICS) != len(z_slice):
         raise ValueError("Shapes of z_SLICS and z_slice need to match!")
 
